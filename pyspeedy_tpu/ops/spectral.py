@@ -1,0 +1,376 @@
+"""Spectral transform engine: spherical-harmonic <-> grid transforms and
+spectral-space operators, batched over arbitrary leading axes.
+
+Behavioral contract from the reference transform stack
+(``speedy.f90/legendre.f90``, ``fourier.f90``, ``spectral.f90``), re-designed
+TPU-first:
+
+* The per-(m,n) Fortran dot-product loops become batched einsums against a
+  precomputed Legendre operator ``cpol`` of shape (iy, mx, nx) — MXU matmuls
+  when batched over levels/fields/ensemble members.
+* The FFTPACK real FFT along longitude becomes ``jnp.fft.rfft/irfft`` (the
+  coefficient convention matches FFTPACK's (cos, -sin) packing), with an
+  optional DFT-by-matmul path that maps better onto the MXU for small ix.
+* All meridional couplings (gradient, vor/div <-> u,v) are n±1 shifts with
+  precomputed coefficient tables — pure pointwise ops.
+
+Conventions (mirroring the reference):
+* grid fields: (..., il, ix), latitude index 0 = southernmost;
+* spectral fields: (..., mx, nx) complex, m = zonal wavenumber index,
+  l = m + n = total wavenumber; only l <= trunc+1 entries participate.
+* A constant field c has spec[0, 0] = sqrt(2) * c.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from .. import constants as pc
+from ..params import ModelParams
+from .geometry import Geometry
+
+__all__ = [
+    "SpectralTransform", "build_spectral",
+    "grid2spec", "spec2grid", "gradient", "vel2vort", "vort2vel",
+    "grid_vel2vort", "truncate", "grid_filter", "laplacian", "laplacian_inv",
+]
+
+# The Fortran reference truncates the near-exact-underflow polynomial values
+# (legendre.f90:297-302).
+_POLY_FLOOR = 1.0e-30
+
+
+def gaussian_nodes_and_weights(iy: int) -> tuple[np.ndarray, np.ndarray]:
+    """Newton-converged Gaussian quadrature nodes and weights on the iy
+    per-hemisphere points, replicating legendre.f90:224-257 (including its
+    10-digit pi literal). Returns (z, w) with z > 0 descending from the pole."""
+    n = 2 * iy
+    eps = np.finfo(np.float64).eps  # epsilon(1.0_p)
+    zs = np.empty(iy)
+    w = np.empty(iy)
+    z1 = 2.0
+    for i in range(1, iy + 1):
+        z = np.cos(3.141592654 * (i - 0.25) / (n + 0.5))
+        pp = 0.0
+        while abs(z - z1) > eps:
+            p1, p2 = 1.0, 0.0
+            for jj in range(1, n + 1):
+                p3 = p2
+                p2 = p1
+                p1 = ((2.0 * jj - 1.0) * z * p2 - (jj - 1.0) * p3) / jj
+            pp = n * (z * p1 - p2) / (z**2 - 1.0)
+            z1 = z
+            z = z1 - p1 / pp
+        zs[i - 1] = z
+        w[i - 1] = 2.0 / ((1.0 - z**2) * pp**2)
+    return zs, w
+
+
+def gaussian_weights(iy: int) -> np.ndarray:
+    return gaussian_nodes_and_weights(iy)[1]
+
+
+def _epsi_tables(mx: int, nx: int) -> tuple[np.ndarray, np.ndarray]:
+    """Recursion coefficients eps(l,m)=sqrt((l^2-m^2)/(4 l^2-1)) on the
+    (mx+1, nx+1) index grid (legendre.f90:79-95)."""
+    m0 = np.arange(mx + 1)[:, None].astype(np.float64)
+    n0 = np.arange(nx + 1)[None, :].astype(np.float64)
+    ell2 = (m0 + n0) ** 2
+    emm2 = m0**2
+    with np.errstate(invalid="ignore", divide="ignore"):
+        epsi = np.sqrt((ell2 - emm2) / (4.0 * ell2 - 1.0))
+    epsi[0, 0] = 0.0
+    epsi[:, nx] = 0.0
+    repsi = np.where(epsi > 0.0, 1.0 / np.where(epsi > 0.0, epsi, 1.0), 0.0)
+    return epsi, repsi
+
+
+def _legendre_polys_at(x: float, y: float, mx: int, nx: int,
+                       epsi: np.ndarray, repsi: np.ndarray) -> np.ndarray:
+    """Associated Legendre polynomials at one latitude via the reference's
+    diagonal-then-meridional recurrence (legendre.f90:260-307)."""
+    alp = np.zeros((mx + 1, nx))
+    m = np.arange(1, mx + 1, dtype=np.float64)
+    consq = np.sqrt(0.5 * (2.0 * m + 1.0) / m)
+
+    alp[0, 0] = np.sqrt(0.5)
+    for i in range(1, mx + 1):
+        alp[i, 0] = consq[i - 1] * y * alp[i - 1, 0]
+    alp[:, 1] = x * alp[:, 0] * repsi[:, 1]
+    for n in range(2, nx):
+        alp[:, n] = (x * alp[:, n - 1] - epsi[:, n - 1] * alp[:, n - 2]) * repsi[:, n]
+
+    alp[np.abs(alp) <= _POLY_FLOOR] = 0.0
+    return alp[:mx, :]
+
+
+class SpectralTransform(NamedTuple):
+    """Precomputed transform operators and spectral coefficient tables.
+
+    A NamedTuple of jnp arrays: a pytree, so it can be closed over by jit
+    (tables become compile-time constants) or passed as an argument.
+    """
+
+    # Legendre operators, nsh2-masked, split by meridional parity:
+    cpol_even: jnp.ndarray   # (iy, mx, nx) zero where n odd
+    cpol_odd: jnp.ndarray    # (iy, mx, nx) zero where n even
+    wt: jnp.ndarray          # (iy,) Gaussian weights
+    # Latitude scalings
+    cosgr: jnp.ndarray       # (il,) 1/cos(lat)
+    cosgr2: jnp.ndarray      # (il,) 1/cos^2(lat)
+    # Spectral operator tables (mx, nx) unless noted
+    el2: jnp.ndarray         # l(l+1)/a^2 Laplacian eigenvalues
+    el4: jnp.ndarray
+    elm2: jnp.ndarray        # 1/el2 (0 at l=0)
+    trfilt: jnp.ndarray      # 1 where l <= trunc else 0
+    gradx: jnp.ndarray       # (mx,) m/a
+    gradym: jnp.ndarray
+    gradyp: jnp.ndarray
+    uvdx: jnp.ndarray
+    uvdym: jnp.ndarray
+    uvdyp: jnp.ndarray
+    vddym: jnp.ndarray
+    vddyp: jnp.ndarray
+    # Static sizes (weak refs through shapes)
+    # (kept implicitly; mx/nx/il/ix are derived from table shapes)
+
+    @property
+    def iy(self):
+        return self.cpol_even.shape[0]
+
+    @property
+    def mx(self):
+        return self.cpol_even.shape[1]
+
+    @property
+    def nx(self):
+        return self.cpol_even.shape[2]
+
+    @property
+    def il(self):
+        return self.cosgr.shape[0]
+
+    @property
+    def rdtype(self):
+        return self.wt.dtype
+
+    @property
+    def cdtype(self):
+        return jnp.complex128 if self.rdtype == jnp.float64 else jnp.complex64
+
+    def astype(self, dtype) -> "SpectralTransform":
+        return SpectralTransform(*(jnp.asarray(a, dtype=dtype) for a in self))
+
+
+def build_spectral(params: ModelParams, geom: Geometry) -> SpectralTransform:
+    """Build all transform tables (numpy f64, cast to the configured dtype)."""
+    mx, nx, iy, trunc = params.mx, params.nx, params.iy, params.trunc
+
+    epsi, repsi = _epsi_tables(mx, nx)
+    wt = gaussian_weights(iy)
+
+    # cpol at the (f32-rounded) geometry nodes, masked to the transform
+    # triangle nsh2 (legendre.f90:68-77): l <= trunc+1 when ix == 4*iy.
+    cpol = np.zeros((iy, mx, nx))
+    for j in range(iy):
+        cpol[j] = _legendre_polys_at(geom.sia_half[j], geom.coa_half[j],
+                                     mx, nx, epsi, repsi)
+
+    m0 = np.arange(mx)[:, None]
+    n0 = np.arange(nx)[None, :]
+    ell = (m0 + n0).astype(np.float64)
+    if params.ix == 4 * params.iy:
+        nsh2_mask = (m0 + n0 <= trunc + 1).astype(np.float64)
+    else:
+        nsh2_mask = np.ones((mx, nx))
+    cpol = cpol * nsh2_mask[None, :, :]
+
+    parity_even = ((n0 % 2) == 0).astype(np.float64)  # n'-m' = n even
+    cpol_even = cpol * parity_even[None, :, :]
+    cpol_odd = cpol * (1.0 - parity_even)[None, :, :]
+
+    # Operator tables (spectral.f90:72-112)
+    el2 = ell * (ell + 1.0) / pc.REARTH**2
+    el4 = el2**2
+    elm2 = np.zeros_like(el2)
+    elm2[el2 > 0] = 1.0 / el2[el2 > 0]
+    trfilt = (ell <= trunc).astype(np.float64)
+
+    gradx = np.arange(mx, dtype=np.float64) / pc.REARTH
+
+    # eps(l, m) lookups: epsi0[m0, n0] has l = m0+n0; the tables use the
+    # "next-l" entries epsi0[m0, n0] (for the n-1 coupling) and
+    # epsi0[m0, n0+1] (for the n+1 coupling).
+    eps_m = epsi[:mx, :nx]        # eps at (m0, n0):   l = m0+n0
+    eps_p = epsi[:mx, 1:nx + 1]   # eps at (m0, n0+1): l = m0+n0+1
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        uvdx = np.where(
+            n0 == 0,
+            -pc.REARTH / (m0 + 1.0),
+            -pc.REARTH * m0 / np.where(n0 == 0, 1.0, ell * (ell + 1.0)),
+        )
+        gradym = np.where(n0 == 0, 0.0, (ell - 1.0) * eps_m / pc.REARTH)
+        uvdym = np.where(n0 == 0, 0.0, -pc.REARTH * eps_m / np.where(ell == 0, 1.0, ell))
+        vddym = np.where(n0 == 0, 0.0, (ell + 1.0) * eps_m / pc.REARTH)
+    gradyp = (ell + 2.0) * eps_p / pc.REARTH
+    uvdyp = -pc.REARTH * eps_p / (ell + 1.0)
+    vddyp = ell * eps_p / pc.REARTH
+
+    dt = np.float64 if params.precision == "f64" else np.float32
+    a = lambda x: jnp.asarray(np.asarray(x, dtype=dt))
+    return SpectralTransform(
+        cpol_even=a(cpol_even), cpol_odd=a(cpol_odd), wt=a(wt),
+        cosgr=a(geom.cosgr), cosgr2=a(geom.cosgr2),
+        el2=a(el2), el4=a(el4), elm2=a(elm2), trfilt=a(trfilt),
+        gradx=a(gradx), gradym=a(gradym), gradyp=a(gradyp),
+        uvdx=a(uvdx), uvdym=a(uvdym), uvdyp=a(uvdyp),
+        vddym=a(vddym), vddyp=a(vddyp),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fourier (longitude) stage
+# ---------------------------------------------------------------------------
+
+def _fourier_direct(sp: SpectralTransform, grid: jnp.ndarray) -> jnp.ndarray:
+    """Grid -> zonal Fourier coefficients, 1/ix normalized (fourier.f90:96-123).
+
+    numpy's rfft convention (C - iS packing) coincides with FFTPACK's rfftf.
+    """
+    ix = grid.shape[-1]
+    F = jnp.fft.rfft(grid, axis=-1)[..., : sp.mx] / ix
+    return F.astype(sp.cdtype)
+
+
+def _fourier_inverse(sp: SpectralTransform, F: jnp.ndarray, kcos: int) -> jnp.ndarray:
+    """Zonal Fourier coefficients -> grid (fourier.f90:63-93).
+
+    kcos=1: raw field; otherwise the output is scaled by 1/cos(lat).
+    The imaginary part of the m=0 coefficient is discarded, as in the
+    reference packing.
+    """
+    ix = 2 * sp.il  # ix == 2*il for the supported grids (96 = 2*48)
+    F = F.at[..., 0].set(F[..., 0].real.astype(F.dtype))
+    pad = [(0, 0)] * (F.ndim - 1) + [(0, ix // 2 + 1 - sp.mx)]
+    Fp = jnp.pad(F, pad)
+    g = jnp.fft.irfft(Fp, n=ix, axis=-1) * ix
+    g = g.astype(sp.rdtype)
+    if kcos != 1:
+        g = g * sp.cosgr[:, None]
+    return g
+
+
+# ---------------------------------------------------------------------------
+# Legendre (latitude) stage
+# ---------------------------------------------------------------------------
+
+def _legendre_direct(sp: SpectralTransform, F: jnp.ndarray) -> jnp.ndarray:
+    """Fourier (..., il, mx) -> spectral (..., mx, nx) via hemispheric
+    even/odd folding + weighted projection (legendre.f90:175-221)."""
+    iy = sp.iy
+    FS = F[..., :iy, :]
+    FN = jnp.flip(F[..., iy:, :], axis=-2)
+    wt = sp.wt[:, None]
+    even = (FN + FS) * wt
+    odd = (FN - FS) * wt
+    return (jnp.einsum("jmn,...jm->...mn", sp.cpol_even, even)
+            + jnp.einsum("jmn,...jm->...mn", sp.cpol_odd, odd))
+
+
+def _legendre_inverse(sp: SpectralTransform, spec: jnp.ndarray) -> jnp.ndarray:
+    """Spectral (..., mx, nx) -> Fourier (..., il, mx) synthesis
+    (legendre.f90:130-169)."""
+    even = jnp.einsum("jmn,...mn->...jm", sp.cpol_even, spec)
+    odd = jnp.einsum("jmn,...mn->...jm", sp.cpol_odd, spec)
+    south = even - odd
+    north = jnp.flip(even + odd, axis=-2)
+    return jnp.concatenate([south, north], axis=-2)
+
+
+# ---------------------------------------------------------------------------
+# Public transforms and operators
+# ---------------------------------------------------------------------------
+
+def grid2spec(sp: SpectralTransform, grid: jnp.ndarray) -> jnp.ndarray:
+    """Grid (..., il, ix) -> spectral (..., mx, nx) (spectral.f90:263-273)."""
+    return _legendre_direct(sp, _fourier_direct(sp, grid))
+
+
+def spec2grid(sp: SpectralTransform, spec: jnp.ndarray, kcos: int = 1) -> jnp.ndarray:
+    """Spectral (..., mx, nx) -> grid (..., il, ix) (spectral.f90:251-261)."""
+    return _fourier_inverse(sp, _legendre_inverse(sp, spec), kcos)
+
+
+def truncate(sp: SpectralTransform, spec: jnp.ndarray) -> jnp.ndarray:
+    """Triangular truncation to l <= trunc (spectral.f90:134-138)."""
+    return spec * sp.trfilt
+
+
+def laplacian(sp: SpectralTransform, spec: jnp.ndarray) -> jnp.ndarray:
+    return -spec * sp.el2
+
+
+def laplacian_inv(sp: SpectralTransform, spec: jnp.ndarray) -> jnp.ndarray:
+    return -spec * sp.elm2
+
+
+def _shift_dn(x: jnp.ndarray) -> jnp.ndarray:
+    """x[..., n] -> x[..., n-1] with zero inflow (n axis last)."""
+    return jnp.concatenate([jnp.zeros_like(x[..., :1]), x[..., :-1]], axis=-1)
+
+
+def _shift_up(x: jnp.ndarray) -> jnp.ndarray:
+    """x[..., n] -> x[..., n+1] with zero inflow."""
+    return jnp.concatenate([x[..., 1:], jnp.zeros_like(x[..., :1])], axis=-1)
+
+
+def _no_zonal_last_row(sp: SpectralTransform, z: jnp.ndarray) -> jnp.ndarray:
+    """The reference omits the zonal-derivative term on the last n row
+    (spectral.f90:174-177, 201-205)."""
+    return z.at[..., -1].set(0.0)
+
+
+def gradient(sp: SpectralTransform, psi: jnp.ndarray):
+    """Spectral zonal/meridional gradient (spectral.f90:275-296).
+    Returns (psdx, psdy); the grid-space x-derivative requires a later
+    1/cos(lat) scaling (kcos != 1 in spec2grid)."""
+    psdx = 1j * sp.gradx[:, None] * psi
+    psdy = -sp.gradym * _shift_dn(psi) + sp.gradyp * _shift_up(psi)
+    return psdx, psdy
+
+
+def vel2vort(sp: SpectralTransform, ucosm: jnp.ndarray, vcosm: jnp.ndarray):
+    """Spectral (U, V)=(u,v)*cos(lat) -> (vor, div) (spectral.f90:160-186)."""
+    zp = _no_zonal_last_row(sp, 1j * sp.gradx[:, None] * ucosm)
+    zc = _no_zonal_last_row(sp, 1j * sp.gradx[:, None] * vcosm)
+    vorm = sp.vddym * _shift_dn(ucosm) - sp.vddyp * _shift_up(ucosm) + zc
+    divm = -sp.vddym * _shift_dn(vcosm) + sp.vddyp * _shift_up(vcosm) + zp
+    return vorm, divm
+
+
+def vort2vel(sp: SpectralTransform, vorm: jnp.ndarray, divm: jnp.ndarray):
+    """Spectral (vor, div) -> (U, V)=(u,v)*cos(lat) (spectral.f90:190-214)."""
+    zp = _no_zonal_last_row(sp, 1j * sp.uvdx * vorm)
+    zc = _no_zonal_last_row(sp, 1j * sp.uvdx * divm)
+    ucosm = sp.uvdym * _shift_dn(vorm) - sp.uvdyp * _shift_up(vorm) + zc
+    vcosm = -sp.uvdym * _shift_dn(divm) + sp.uvdyp * _shift_up(divm) + zp
+    return ucosm, vcosm
+
+
+def grid_vel2vort(sp: SpectralTransform, ug: jnp.ndarray, vg: jnp.ndarray,
+                  kcos: int = 2):
+    """Grid (u, v) -> spectral (vor, div) (spectral.f90:218-248).
+    kcos=2 scales the input by 1/cos(lat), otherwise by 1/cos^2(lat)."""
+    scale = sp.cosgr if kcos == 2 else sp.cosgr2
+    specu = grid2spec(sp, ug * scale[:, None])
+    specv = grid2spec(sp, vg * scale[:, None])
+    return vel2vort(sp, specu, specv)
+
+
+def grid_filter(sp: SpectralTransform, fg: jnp.ndarray) -> jnp.ndarray:
+    """Spectrally truncate a grid-point field (spectral.f90:299-317)."""
+    return spec2grid(sp, truncate(sp, grid2spec(sp, fg)), 1)
