@@ -26,3 +26,7 @@ def example_bc_file():
 def example_sst_anomaly_file():
     """Path to the bundled example SST anomaly file."""
     return str(PACKAGE_DATA_DIR / "sst_anomaly.nc")
+
+
+from .params import ModelParams, T30L8  # noqa: E402
+from .speedy import Speedy, SpeedyEns, MODEL_STATE_DEF  # noqa: E402,F401

@@ -1,0 +1,64 @@
+"""Hydrostatic geopotential in spectral space (reference:
+speedy.f90/geopotential.f90)."""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from .. import constants as pc
+from ..ops.geometry import Geometry
+from ..params import ModelParams
+
+__all__ = ["GeopotTables", "build_geopot", "get_geopotential"]
+
+
+class GeopotTables(NamedTuple):
+    xgeop1: jnp.ndarray  # (kx,)
+    xgeop2: jnp.ndarray  # (kx,) (entry 0 unused)
+    corf: jnp.ndarray    # (kx,) zonal-mean lapse-rate correction factors
+
+
+def build_geopot(params: ModelParams, geom: Geometry) -> GeopotTables:
+    """Hydrostatic constants (geopotential.f90:16-31) and the tropospheric
+    zonal-mean correction factors (geopotential.f90:73-76)."""
+    kx = params.kx
+    hsg, fsg = geom.hsg, geom.fsg
+    xgeop1 = np.zeros(kx)
+    xgeop2 = np.zeros(kx)
+    for k in range(kx):
+        xgeop1[k] = pc.RGAS * np.log(hsg[k + 1] / fsg[k])
+        if k != kx - 1:
+            xgeop2[k + 1] = pc.RGAS * np.log(fsg[k + 1] / hsg[k + 1])
+
+    corf = np.zeros(kx)
+    for k in range(1, kx - 1):
+        corf[k] = xgeop1[k] * 0.5 * np.log(hsg[k + 1] / fsg[k]) \
+            / np.log(fsg[k + 1] / fsg[k - 1])
+
+    dt = np.float64 if params.precision == "f64" else np.float32
+    a = lambda x: jnp.asarray(np.asarray(x, dtype=dt))
+    return GeopotTables(xgeop1=a(xgeop1), xgeop2=a(xgeop2), corf=a(corf))
+
+
+def get_geopotential(gp: GeopotTables, t: jnp.ndarray, phis: jnp.ndarray) -> jnp.ndarray:
+    """Bottom-up hydrostatic integration in spectral space
+    (geopotential.f90:49-77).
+
+    t: (..., kx, mx, nx) spectral temperature; phis: (..., mx, nx).
+    Returns phi: (..., kx, mx, nx).
+    """
+    kx = t.shape[-3]
+    levels = [None] * kx
+    levels[kx - 1] = phis + gp.xgeop1[kx - 1] * t[..., kx - 1, :, :]
+    for k in range(kx - 2, -1, -1):
+        levels[k] = (levels[k + 1] + gp.xgeop2[k + 1] * t[..., k + 1, :, :]
+                     + gp.xgeop1[k] * t[..., k, :, :])
+    phi = jnp.stack(levels, axis=-3)
+
+    # Zonal-mean (m=0) lapse-rate correction in the free troposphere.
+    corr = gp.corf[1:kx - 1, None] * (t[..., 2:kx, 0, :] - t[..., 0:kx - 2, 0, :])
+    phi = phi.at[..., 1:kx - 1, 0, :].add(corr)
+    return phi

@@ -1,0 +1,119 @@
+"""Prognostic-variable initialization and grid/spectral conversions for the
+public API (reference: speedy.f90/prognostics.f90)."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from .. import constants as pc
+from ..ops import spectral as S
+
+__all__ = ["initialize_from_rest_state", "spectral2grid", "grid2spectral",
+           "grid_filter_prognostics"]
+
+
+def initialize_from_rest_state(consts, state):
+    """Reference atmosphere at rest (prognostics.f90:29-120): isothermal
+    stratosphere over a constant-lapse-rate troposphere, surface pressure in
+    hydrostatic balance with the (filtered) orography, humidity decaying as
+    sigma^(hscale/hshum)."""
+    params = consts.params
+    sp = consts.sp
+    geom = consts.geom
+    kx = params.kx
+    cdtype = state["vor"].dtype
+
+    gam1 = pc.GAMMA / (1000.0 * pc.GRAV)
+
+    state = dict(state)
+    phis = S.grid2spec(sp, state["phis0"])
+    state["phis"] = phis
+
+    zeros3 = jnp.zeros((kx, params.mx, params.nx), dtype=cdtype)
+    vor = jnp.stack([zeros3, zeros3])
+    state["vor"] = vor
+    state["div"] = vor
+
+    tref, ttop = 288.0, 216.0
+    gam2 = gam1 / tref
+    rgam = pc.RGAS * gam1
+    rgamr = 1.0 / rgam
+
+    surfs = -gam1 * phis
+    surfs = surfs.at[0, 0].set(np.sqrt(2.0) * tref - gam1 * phis[0, 0])
+
+    t_levels = [jnp.zeros_like(phis).at[0, 0].set(np.sqrt(2.0) * ttop)
+                for _ in range(2)]
+    for k in range(2, kx):
+        t_levels.append(surfs * geom.fsg[k] ** rgam)
+    t1 = jnp.stack(t_levels)
+    state["t"] = jnp.stack([t1, jnp.zeros_like(t1)])
+
+    # log(normalized ps) consistent with the temperature profile, p=1013 hPa
+    # at z=0 (prognostics.f90:83-94).
+    rlog0 = np.log(1.013)
+    surfg = rlog0 + rgamr * jnp.log(1.0 - gam2 * state["phis0"])
+    ps1 = S.truncate(sp, S.grid2spec(sp, surfg)) if params.ix == 4 * params.iy \
+        else S.grid2spec(sp, surfg)
+    state["ps"] = jnp.stack([ps1, jnp.zeros_like(ps1)])
+
+    # Tropospheric specific humidity in g/kg (prognostics.f90:96-115).
+    esref = 17.0
+    qref = pc.REFRH1 * 0.622 * esref
+    qexp = pc.HSCALE / pc.HSHUM
+    surfgq = qref * jnp.exp(qexp * surfg)
+    surfsq = S.grid2spec(sp, surfgq)
+    if params.ix == 4 * params.iy:
+        surfsq = S.truncate(sp, surfsq)
+
+    q_levels = [jnp.zeros_like(phis) for _ in range(2)]
+    for k in range(2, kx):
+        q_levels.append(surfsq * geom.fsg[k] ** qexp)
+    # tr layout: (ntr, t_levs, kx, mx, nx)
+    tr = jnp.zeros((params.ntr, 2, kx, params.mx, params.nx), dtype=cdtype)
+    state["tr"] = tr.at[0, 0].set(jnp.stack(q_levels))
+
+    state["phi"] = jnp.zeros_like(t1)
+    return state
+
+
+def spectral2grid(consts, state):
+    """Fill the grid-space mirrors with unit conversions
+    (prognostics.f90:125-154)."""
+    sp = consts.sp
+    state = dict(state)
+    ucos, vcos = S.vort2vel(sp, state["vor"][0], state["div"][0])
+    state["u_grid"] = S.spec2grid(sp, ucos, 2)
+    state["v_grid"] = S.spec2grid(sp, vcos, 2)
+    state["t_grid"] = S.spec2grid(sp, state["t"][0], 1)
+    state["q_grid"] = S.spec2grid(sp, state["tr"][0, 0], 1) * 1.0e-3  # kg/kg
+    state["phi_grid"] = S.spec2grid(sp, state["phi"], 1) / pc.GRAV    # m
+    state["ps_grid"] = pc.P0 * jnp.exp(S.spec2grid(sp, state["ps"][0], 1))  # Pa
+    return state
+
+
+def grid2spectral(consts, state):
+    """Push the grid-space mirrors back into the spectral prognostics
+    (prognostics.f90:157-179)."""
+    sp = consts.sp
+    state = dict(state)
+    vor1, div1 = S.grid_vel2vort(sp, state["u_grid"], state["v_grid"], 2)
+    state["vor"] = state["vor"].at[0].set(vor1)
+    state["div"] = state["div"].at[0].set(div1)
+    state["t"] = state["t"].at[0].set(S.grid2spec(sp, state["t_grid"]))
+    state["tr"] = state["tr"].at[0, 0].set(
+        S.grid2spec(sp, state["q_grid"]) / 1.0e-3)
+    state["phi"] = S.grid2spec(sp, state["phi_grid"]) * pc.GRAV
+    state["ps"] = state["ps"].at[0].set(
+        S.grid2spec(sp, jnp.log(state["ps_grid"] / pc.P0)))
+    return state
+
+
+def grid_filter_prognostics(consts, state):
+    """Spectrally filter the grid-space mirrors (prognostics.f90:183-219)."""
+    sp = consts.sp
+    state = dict(state)
+    for name in ("u_grid", "v_grid", "t_grid", "q_grid", "phi_grid", "ps_grid"):
+        state[name] = S.grid_filter(sp, state[name])
+    return state

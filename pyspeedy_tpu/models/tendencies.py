@@ -1,0 +1,189 @@
+"""Dynamical-core tendencies (reference: speedy.f90/tendencies.f90).
+
+All grid-point algebra is batched over the level axis; the per-level Fortran
+transform loops collapse into single batched transforms (einsum + FFT), which
+is where the MXU throughput comes from.
+
+Array layouts: spectral (kx, mx, nx) / (mx, nx); grid (kx, il, ix) / (il, ix);
+time-level axis leads prognostic arrays: vor (2, kx, mx, nx), ps (2, mx, nx),
+tr (2, ntr, kx, mx, nx).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .. import constants as pc
+from ..ops import spectral as S
+from .geopotential import get_geopotential
+from .implicit import ImplicitTables, implicit_terms
+
+__all__ = ["get_tendencies"]
+
+
+def _vertical_means(dhs, fields):
+    """Sigma-mass-weighted vertical means of (kx, il, ix) fields."""
+    return [jnp.einsum("k,kji->ji", dhs, f) for f in fields]
+
+
+def _half_level_flux(sigdt, df):
+    """temp[k] = sigdt[k] * df[k] on interior half levels, zero at the
+    boundaries: returns a (kx+1, il, ix) array."""
+    zeros = jnp.zeros_like(sigdt[:1])
+    return jnp.concatenate([zeros, sigdt[1:-1] * df, zeros], axis=0)
+
+
+def get_grid_point_tendencies(consts, state, j2: int, physics_fn=None, ctx=None):
+    """Nonlinear grid-point tendencies, converted to spectral
+    (tendencies.f90:51-276). j2 is the 0-based time level for the dynamics;
+    physics always runs at time level 0 (j1=1 in the reference).
+
+    Returns (vordt, divdt, tdt, psdt, trdt, state) where state carries the
+    updated geopotential and any physics diagnostics.
+    """
+    sp = consts.sp
+    geom = consts.geom
+    im: ImplicitTables = consts.implicit
+    dhs = geom.dhs
+    dhsr = geom.dhsr[:, None, None]
+    fsgr = geom.fsgr[:, None, None]
+    tref = im.tref
+    kx = dhs.shape[0]
+
+    vor = state["vor"][j2]
+    div = state["div"][j2]
+    t = state["t"][j2]
+    tr = state["tr"][:, j2]  # (ntr, kx, mx, nx)
+    ps = state["ps"][j2]
+
+    # --- prognostics to grid space (tendencies.f90:109-130) ---
+    vorg = S.spec2grid(sp, vor, 1)
+    divg = S.spec2grid(sp, div, 1)
+    tg = S.spec2grid(sp, t, 1)
+    trg = S.spec2grid(sp, tr, 1)  # (ntr, kx, il, ix)
+    ucos, vcos = S.vort2vel(sp, vor, div)
+    ug = S.spec2grid(sp, ucos, 2)
+    vg = S.spec2grid(sp, vcos, 2)
+    vorg = vorg + geom.coriol[None, :, None]
+
+    umean, vmean, dmean = _vertical_means(dhs, (ug, vg, divg))
+
+    # --- log-ps tendency (tendencies.f90:144-149) ---
+    psdx, psdy = S.gradient(sp, ps)
+    px = S.spec2grid(sp, psdx, 2)
+    py = S.spec2grid(sp, psdy, 2)
+    psdt = S.grid2spec(sp, -umean * px - vmean * py)
+    psdt = psdt.at[0, 0].set(0.0)
+
+    # --- sigma-dot vertical velocity (tendencies.f90:152-166) ---
+    # NB the reference's recursion runs through k=kx, so the bottom half
+    # level carries the accumulated sum (~ -mean(puv)), it is NOT zero.
+    puv = (ug - umean) * px + (vg - vmean) * py
+    zero2 = jnp.zeros_like(puv[:1])
+    sigdt = jnp.concatenate(
+        [zero2, -jnp.cumsum(dhs[:, None, None] * (puv + divg - dmean), axis=0)], axis=0)
+    sigm = jnp.concatenate(
+        [zero2, -jnp.cumsum(dhs[:, None, None] * puv, axis=0)], axis=0)
+
+    tgg = tg - tref[:, None, None]
+
+    # --- wind tendencies (tendencies.f90:174-195) ---
+    tmp = _half_level_flux(sigdt, ug[1:] - ug[:-1])
+    utend = vg * vorg - tgg * pc.RGAS * px - (tmp[1:] + tmp[:-1]) * dhsr
+    tmp = _half_level_flux(sigdt, vg[1:] - vg[:-1])
+    vtend = -ug * vorg - tgg * pc.RGAS * py - (tmp[1:] + tmp[:-1]) * dhsr
+
+    # --- temperature tendency (tendencies.f90:197-210) ---
+    tmp = _half_level_flux(sigdt, tgg[1:] - tgg[:-1]) \
+        + _half_level_flux(sigm, (tref[1:] - tref[:-1])[:, None, None]
+                           * jnp.ones_like(sigm[1:-1]))
+    ttend = (tgg * divg - (tmp[1:] + tmp[:-1]) * dhsr
+             + fsgr * tgg * (sigdt[1:] + sigdt[:-1])
+             + im.tref3[:, None, None] * (sigm[1:] + sigm[:-1])
+             + pc.AKAP * (tg * puv - tgg * dmean))
+
+    # --- tracer tendencies (tendencies.f90:212-224) ---
+    # The reference zeroes the vertical tracer flux at the top two interior
+    # half levels (temp(:,:,2:3) = 0, tendencies.f90:218).
+    def tracer_tend(q):
+        tmp = _half_level_flux(sigdt, q[1:] - q[:-1])
+        tmp = tmp.at[1:3].set(0.0)
+        return q * divg - (tmp[1:] + tmp[:-1]) * dhsr
+
+    trtend = jnp.stack([tracer_tend(trg[i]) for i in range(trg.shape[0])])
+
+    # --- physics (tendencies.f90:229-232) ---
+    state = dict(state)
+    state["phi"] = get_geopotential(consts.gp, state["t"][0], state["phis"])
+    if physics_fn is not None:
+        utend, vtend, ttend, trtend, state = physics_fn(
+            consts, state, ctx, utend, vtend, ttend, trtend)
+
+    # --- back to spectral (tendencies.f90:238-268) ---
+    vordt, divdt = S.grid_vel2vort(sp, utend, vtend, 2)
+    divdt = divdt - S.laplacian(sp, S.grid2spec(sp, 0.5 * (ug**2 + vg**2)))
+    _, tdt = S.grid_vel2vort(sp, -ug * tgg, -vg * tgg, 2)
+    tdt = tdt + S.grid2spec(sp, ttend)
+
+    trdt_list = []
+    for i in range(trg.shape[0]):
+        _, flux = S.grid_vel2vort(sp, -ug * trg[i], -vg * trg[i], 2)
+        trdt_list.append(flux + S.grid2spec(sp, trtend[i]))
+    trdt = jnp.stack(trdt_list)
+
+    return vordt, divdt, tdt, psdt, trdt, state
+
+
+def get_spectral_tendencies(consts, state, divdt, tdt, psdt, j2: int):
+    """Linear (reference-profile) spectral tendencies
+    (tendencies.f90:283-352). Updates state["phi"] from time level j2."""
+    sp = consts.sp
+    geom = consts.geom
+    im: ImplicitTables = consts.implicit
+    dhs = geom.dhs
+    kx = dhs.shape[0]
+
+    div = state["div"][j2]
+    tref = im.tref
+
+    dmeanc = jnp.einsum("k,kmn->mn", dhs.astype(div.real.dtype), div)
+    psdt = psdt - dmeanc
+    psdt = psdt.at[0, 0].set(0.0)
+
+    # sigma-dot on half levels (kx+1, mx, nx); note the reference accumulates
+    # only through k=kx-1 so the bottom boundary stays zero.
+    zero2 = jnp.zeros_like(div[:1])
+    sigdtc = jnp.concatenate(
+        [zero2, -jnp.cumsum(dhs[:-1, None, None] * (div[:-1] - dmeanc), axis=0), zero2],
+        axis=0)
+
+    dumk = jnp.concatenate(
+        [zero2, sigdtc[1:-1] * (tref[1:] - tref[:-1])[:, None, None], zero2], axis=0)
+
+    tdt = (tdt - (dumk[1:] + dumk[:-1]) * geom.dhsr[:, None, None]
+           + im.tref3[:, None, None] * (sigdtc[1:] + sigdtc[:-1])
+           - im.tref2[:, None, None] * dmeanc)
+
+    state = dict(state)
+    state["phi"] = get_geopotential(consts.gp, state["t"][j2], state["phis"])
+    divdt = divdt - S.laplacian(
+        sp, state["phi"] + pc.RGAS * tref[:, None, None] * state["ps"][j2])
+
+    return divdt, tdt, psdt, state
+
+
+def get_tendencies(consts, state, j2: int, physics_fn=None, ctx=None):
+    """Full tendency computation incl. the semi-implicit correction
+    (tendencies.f90:11-39). j2 is 0-based."""
+    vordt, divdt, tdt, psdt, trdt, state = get_grid_point_tendencies(
+        consts, state, j2, physics_fn, ctx)
+
+    if consts.params.alph < 0.5:
+        divdt, tdt, psdt, state = get_spectral_tendencies(
+            consts, state, divdt, tdt, psdt, j2)
+    else:
+        divdt, tdt, psdt, state = get_spectral_tendencies(
+            consts, state, divdt, tdt, psdt, 0)
+        divdt, tdt, psdt = implicit_terms(consts.implicit, divdt, tdt, psdt)
+
+    return vordt, divdt, tdt, psdt, trdt, state

@@ -1,0 +1,96 @@
+"""Leapfrog time stepping with Robert-Williams filtering and horizontal
+diffusion (reference: speedy.f90/time_stepping.f90)."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .. import constants as pc
+from ..ops import spectral as S
+from .tendencies import get_tendencies
+
+__all__ = ["step", "first_step_stage"]
+
+
+def _hordif(field, fdt, dmp, dmp1):
+    """fdt_out = (fdt - dmp*field) * dmp1 (horizontal_diffusion.f90:131-152).
+    dmp/dmp1 are (mx, nx); field/fdt have trailing (mx, nx)."""
+    return (fdt - dmp * field) * dmp1
+
+
+def _step_field(params, sp, j1: int, dt, eps, f, fdt):
+    """Leapfrog + Robert-Williams filter update of one prognostic
+    (time_stepping.f90:164-188). f: (2, ...); fdt: (...). j1 is 1-based as in
+    the reference: (1,1) forward, (1,2) initial leapfrog, (2,2) filtered."""
+    if params.ix == params.iy * 4:
+        fdt = S.truncate(sp, fdt)
+    fj = f[j1 - 1]
+    fnew = f[0] + dt * fdt
+    f1 = fj + params.wil * eps * (f[0] - 2.0 * fj + fnew)
+    # The reference computes the second-level filter displacement with the
+    # already-updated first level (sequential aliasing in step_field_2d).
+    f2 = fnew - (1.0 - params.wil) * eps * (f1 - 2.0 * fj + fnew)
+    return jnp.stack([f1, f2])
+
+
+def step(consts, state, j1: int, j2: int, dt: float, physics_fn=None, ctx=None):
+    """One (half/full/leapfrog) step (time_stepping.f90:38-147).
+
+    j1/j2 are the reference's 1-based time-level selectors; dt the step
+    length. consts.implicit must hold the tables for this dt.
+    """
+    params = consts.params
+    sp = consts.sp
+    im = consts.implicit
+    hd = consts.hd
+
+    vordt, divdt, tdt, psdt, trdt, state = get_tendencies(
+        consts, state, j2 - 1, physics_fn, ctx)
+
+    # --- horizontal diffusion (time_stepping.f90:78-122) ---
+    vor0 = state["vor"][0]
+    div0 = state["div"][0]
+    vordt = _hordif(vor0, vordt, hd.dmp, im.dmp1)
+    divdt = _hordif(div0, divdt, hd.dmpd, im.dmp1d)
+
+    tcor = state["t"][0] + state["tcorh"] * hd.tcorv[:, None, None]
+    tdt = _hordif(tcor, tdt, hd.dmp, im.dmp1)
+
+    # Stratospheric drag on the zonal-mean top-level flow
+    # (time_stepping.f90:92-100).
+    sdrag = 1.0 / (pc.TDRS * 3600.0)
+    vordt = vordt.at[0, 0, :].add(-sdrag * vor0[0, 0, :])
+    divdt = divdt.at[0, 0, :].add(-sdrag * div0[0, 0, :])
+
+    vordt = _hordif(vor0, vordt, hd.dmps, im.dmp1s)
+    divdt = _hordif(div0, divdt, hd.dmps, im.dmp1s)
+    tdt = _hordif(tcor, tdt, hd.dmps, im.dmp1s)
+
+    qcor = state["tr"][0, 0] + state["qcorh"] * hd.qcorv[:, None, None]
+    trdt = trdt.at[0].set(_hordif(qcor, trdt[0], hd.dmpd, im.dmp1d))
+    for itr in range(1, params.ntr):
+        trdt = trdt.at[itr].set(
+            _hordif(state["tr"][itr, 0], trdt[itr], hd.dmp, im.dmp1))
+
+    # --- leapfrog with Robert-Williams filter (time_stepping.f90:124-144) ---
+    eps = 0.0 if j1 == 1 else params.rob
+
+    state = dict(state)
+    state["ps"] = _step_field(params, sp, j1, dt, eps, state["ps"], psdt)
+    state["vor"] = _step_field(params, sp, j1, dt, eps, state["vor"], vordt)
+    state["div"] = _step_field(params, sp, j1, dt, eps, state["div"], divdt)
+    state["t"] = _step_field(params, sp, j1, dt, eps, state["t"], tdt)
+    state["tr"] = jnp.stack([
+        _step_field(params, sp, j1, dt, eps, state["tr"][itr], trdt[itr])
+        for itr in range(params.ntr)])
+    return state
+
+
+def first_step_stage(consts_half, consts_full, state, physics_fn=None, ctx=None):
+    """The dt/2 then dt bootstrap (time_stepping.f90:13-27). The caller
+    supplies consts with implicit tables for dt/2 and dt; the 2*dt tables are
+    used by subsequent regular steps."""
+    delt = consts_half.params.delt
+    state = step(consts_half, state, 1, 1, 0.5 * delt, physics_fn, ctx)
+    state = step(consts_full, state, 1, 2, delt, physics_fn, ctx)
+    return state

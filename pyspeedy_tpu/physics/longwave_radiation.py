@@ -1,0 +1,152 @@
+"""Four-band longwave radiation (reference:
+speedy.f90/longwave_radiation.f90).
+
+The integer-temperature band-fraction lookup fband(nint(T), band) becomes a
+clipped gather — the one non-elementwise op in the scheme.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from .. import constants as pc
+
+__all__ = ["radset", "get_downward_longwave_rad_fluxes",
+           "get_upward_longwave_rad_fluxes", "NBAND"]
+
+NBAND = 4
+
+
+def radset() -> np.ndarray:
+    """Energy fraction emitted in each LW band as f(T) (radset,
+    longwave_radiation.f90:208-232). Returns (301, 4) table for T=100..400K."""
+    eps1 = 1.0 - pc.EPSLW
+    fband = np.zeros((301, 4))
+    t = np.arange(200, 321)
+    i = t - 100
+    fband[i, 1] = (0.148 - 3.0e-6 * (t - 247) ** 2) * eps1
+    fband[i, 2] = (0.356 - 5.2e-6 * (t - 282) ** 2) * eps1
+    fband[i, 3] = (0.314 + 1.0e-5 * (t - 315) ** 2) * eps1
+    fband[i, 0] = eps1 - (fband[i, 1] + fband[i, 2] + fband[i, 3])
+    fband[: 100] = fband[100]
+    fband[221:] = fband[220]
+    return fband
+
+
+def _fband_at(fband, ta):
+    """fband(nint(T), :) gather -> (..., 4) with T clipped to the table."""
+    idx = jnp.clip(jnp.floor(ta + 0.5).astype(jnp.int32) - 100, 0, 300)
+    return fband[idx]  # (..., 4)
+
+
+def get_downward_longwave_rad_fluxes(geom, fband, rad_tau2, ta):
+    """Downward LW sweep (longwave_radiation.f90:16-121).
+
+    Returns (fsfcd, dfabs, rad_flux, rad_st4a); rad_flux/rad_st4a feed the
+    upward sweep of the same step.
+    """
+    kx = ta.shape[0]
+    nl1 = kx - 1
+    wvi = geom.wvi
+
+    # Blackbody emission: boundary temperatures, stratospheric means,
+    # tropospheric gradients (lw:42-70).
+    tb = [ta[k] + wvi[k, 1] * (ta[k + 1] - ta[k]) for k in range(nl1)]
+
+    st4a_2 = [None] * kx
+    st4a_2[0] = 0.75 * ta[0] + 0.25 * tb[0]
+    st4a_2[1] = 0.50 * ta[1] + 0.25 * (tb[0] + tb[1])
+    anis = 1.0
+    for k0 in range(2, nl1):
+        st4a_2[k0] = 0.5 * anis * jnp.maximum(tb[k0] - tb[k0 - 1], 0.0)
+    st4a_2[kx - 1] = anis * jnp.maximum(ta[kx - 1] - tb[nl1 - 1], 0.0)
+
+    st4a_1 = [None] * kx
+    for k0 in range(2):
+        st4a_1[k0] = pc.SBC * st4a_2[k0] ** 4
+        st4a_2[k0] = jnp.zeros_like(ta[0])
+    for k0 in range(2, kx):
+        st3a = pc.SBC * ta[k0] ** 3
+        st4a_1[k0] = st3a * ta[k0]
+        st4a_2[k0] = 4.0 * st3a * st4a_2[k0]
+
+    dfabs = [jnp.zeros_like(ta[0]) for _ in range(kx)]
+    fb = [_fband_at(fband, ta[k0]) for k0 in range(kx)]  # (kx)(il,ix,4)
+
+    # 3.1 stratosphere, bands 1-2 at k=1
+    flux = [None] * NBAND
+    for jb in range(2):
+        emis = 1.0 - rad_tau2[jb, 0]
+        brad = fb[0][..., jb] * (st4a_1[0] + emis * st4a_2[0])
+        flux[jb] = emis * brad
+        dfabs[0] = dfabs[0] - flux[jb]
+    for jb in range(2, NBAND):
+        flux[jb] = jnp.zeros_like(ta[0])
+
+    # 3.2 troposphere
+    for jb in range(NBAND):
+        for k0 in range(1, kx):
+            emis = 1.0 - rad_tau2[jb, k0]
+            brad = fb[k0][..., jb] * (st4a_1[k0] + emis * st4a_2[k0])
+            dfabs[k0] = dfabs[k0] + flux[jb]
+            flux[jb] = rad_tau2[jb, k0] * flux[jb] + emis * brad
+            dfabs[k0] = dfabs[k0] - flux[jb]
+
+    fsfcd = pc.EMISFC * sum(flux)
+
+    # 3.4 "black" band correction incl. surface reflection
+    corlw = pc.EPSLW * pc.EMISFC * st4a_1[kx - 1]
+    dfabs[kx - 1] = dfabs[kx - 1] - corlw
+    fsfcd = fsfcd + corlw
+
+    rad_flux = jnp.stack(flux)
+    rad_st4a = jnp.stack([jnp.stack(st4a_1), jnp.stack(st4a_2)])
+    return fsfcd, jnp.stack(dfabs), rad_flux, rad_st4a
+
+
+def get_upward_longwave_rad_fluxes(geom, fband, rad_tau2, rad_st4a,
+                                   rad_strat_corr, ta, ts, fsfcd, fsfcu,
+                                   dfabs_in, rad_flux_down):
+    """Full upward sweep (longwave_radiation.f90:124-205)."""
+    kx = ta.shape[0]
+    dhs = geom.dhs
+    st4a_1 = rad_st4a[0]
+    st4a_2 = rad_st4a[1]
+
+    refsfc = 1.0 - pc.EMISFC
+    fsfc = fsfcu - fsfcd
+
+    fb_ts = _fband_at(fband, ts)
+    flux = [fb_ts[..., jb] * fsfcu + refsfc * rad_flux_down[jb]
+            for jb in range(NBAND)]
+
+    dfabs = [dfabs_in[k0] for k0 in range(kx)]
+    # "black" band correction
+    dfabs[kx - 1] = dfabs[kx - 1] + pc.EPSLW * fsfcu
+
+    fb = [_fband_at(fband, ta[k0]) for k0 in range(kx)]
+    for jb in range(NBAND):
+        for k0 in range(kx - 1, 0, -1):
+            emis = 1.0 - rad_tau2[jb, k0]
+            brad = fb[k0][..., jb] * (st4a_1[k0] - emis * st4a_2[k0])
+            dfabs[k0] = dfabs[k0] + flux[jb]
+            flux[jb] = rad_tau2[jb, k0] * flux[jb] + emis * brad
+            dfabs[k0] = dfabs[k0] - flux[jb]
+
+    # stratosphere, bands 1-2 at k=1
+    for jb in range(2):
+        emis = 1.0 - rad_tau2[jb, 0]
+        brad = fb[0][..., jb] * (st4a_1[0] - emis * st4a_2[0])
+        dfabs[0] = dfabs[0] + flux[jb]
+        flux[jb] = rad_tau2[jb, 0] * flux[jb] + emis * brad
+        dfabs[0] = dfabs[0] - flux[jb]
+
+    # "black" band + polar-night cooling corrections
+    corlw1 = dhs[0] * rad_strat_corr[1] * st4a_1[0] + rad_strat_corr[0]
+    corlw2 = dhs[1] * rad_strat_corr[1] * st4a_1[1]
+    dfabs[0] = dfabs[0] - corlw1
+    dfabs[1] = dfabs[1] - corlw2
+
+    ftop = corlw1 + corlw2 + sum(flux)
+    return fsfc, ftop, jnp.stack(dfabs)
