@@ -28,6 +28,11 @@ def set_forcing(consts, state, year_frac, tyear):
     sp = consts.sp
     state = dict(state)
     ones = jnp.ones_like(state["sice_am"])
+    # Pin the calendar scalars to the model dtype (a Python float through
+    # jnp trig would otherwise promote the branch to f64 under x64).
+    rdt = ones.dtype
+    tyear = jnp.asarray(tyear, dtype=rdt)
+    year_frac = jnp.asarray(year_frac, dtype=rdt)
 
     fsol, ozupp, ozone, zenit, stratz = get_zonal_average_fields(geom, tyear)
     state["flux_solar_in"] = fsol * ones

@@ -20,6 +20,42 @@ BETA = 1.0          # heat-flux coefficient at the sea/ice interface
 SSTFR = 273.2 - 1.8  # freezing-point SST
 
 
+def sea_domain(cdomain, deglat_s, ix):
+    """Regional ocean-domain masks (sea_model.f90:386-463): weights in [0,1]
+    per grid point for the named domain. Domains: northe, natlan, npacif,
+    tropic, indian, elnino."""
+    il = deglat_s.shape[0]
+    dmask = np.zeros((il, ix))
+    rlon = 360.0 / ix * np.arange(ix)[None, :]
+    lat = deglat_s[:, None]
+
+    if cdomain == "northe":
+        dmask[:] = np.where(lat > 20.0, 1.0, 0.0)
+    elif cdomain == "natlan":
+        dmask[:] = np.where((lat > 20.0) & (lat < 80.0)
+                            & ((rlon < 45.0) | (rlon > 260.0)), 1.0, 0.0)
+    elif cdomain == "npacif":
+        dmask[:] = np.where((lat > 20.0) & (lat < 65.0)
+                            & (rlon > 120.0) & (rlon < 260.0), 1.0, 0.0)
+    elif cdomain == "tropic":
+        dmask[:] = np.where((lat > -30.0) & (lat < 30.0), 1.0, 0.0)
+    elif cdomain == "indian":
+        dmask[:] = np.where((lat > -30.0) & (lat < 30.0)
+                            & (rlon > 30.0) & (rlon < 120.0), 1.0, 0.0)
+    elif cdomain == "elnino":
+        arlat = np.abs(lat)
+        wlat = np.where(arlat > 15.0, (0.1 * (25.0 - arlat)) ** 2, 1.0)
+        wlat = np.where(arlat < 25.0, wlat, 0.0)
+        rlonw = 300.0 - 2.0 * np.maximum(lat, 0.0)
+        inner = (rlon > 165.0) & (rlon < rlonw)
+        ramp = (rlon > 155.0) & (rlon <= 165.0)
+        dmask[:] = np.where(inner, wlat,
+                            np.where(ramp, wlat * 0.1 * (rlon - 155.0), 0.0))
+    else:
+        raise ValueError(f"unknown sea domain {cdomain!r}")
+    return dmask
+
+
 def sea_model_init(params, host, radang):
     """Masks, heat capacities, dissipation fields (sea_model.f90:33-191)."""
     delt = params.delt

@@ -73,10 +73,35 @@ def _geom_jnp(params: ModelParams, geom_np: Geometry) -> Geometry:
     return Geometry(*(np.asarray(a, dtype=dt) for a in geom_np))
 
 
+_CONSTS_CACHE: dict = {}
+_RUN_FN_CACHE: dict = {}
+
+
+def build_consts_cached(params: ModelParams, **flags):
+    """Memoized build_consts: table construction and, more importantly, the
+    jit caches keyed on the consts object are shared across model instances
+    with identical configuration (the reference reuses module instances the
+    same way)."""
+    key = (params, tuple(sorted(flags.items())))
+    if key not in _CONSTS_CACHE:
+        _CONSTS_CACHE[key] = build_consts(params, **flags)
+    return _CONSTS_CACHE[key]
+
+
+def make_run_steps_cached(consts: Consts):
+    key = id(consts)
+    if key not in _RUN_FN_CACHE:
+        _RUN_FN_CACHE[key] = make_run_steps(consts)
+    return _RUN_FN_CACHE[key]
+
+
 def build_consts(params: ModelParams, **flags) -> tuple[Consts, Geometry]:
     """Build all static tables. Returns (consts, numpy geometry)."""
     geom_np = build_geometry(params)
-    sp = S.build_spectral(params, geom_np)
+    use_matmul = (params.fft_mode == "matmul"
+                  or (params.fft_mode == "auto"
+                      and jax.default_backend() != "cpu"))
+    sp = S.build_spectral(params, geom_np, use_matmul_fft=use_matmul)
     hd = build_hordif(params, geom_np)
     gp = build_geopot(params, geom_np)
     im = build_implicit(params, geom_np, hd, 2.0 * params.delt)
@@ -89,7 +114,11 @@ def build_consts(params: ModelParams, **flags) -> tuple[Consts, Geometry]:
 
 def allocate_state(params: ModelParams, n_months: int = 1) -> dict:
     """Zero-filled model state (the analog of ModelState_allocate,
-    model_state.f90:358) in internal layouts, plus runtime extras."""
+    model_state.f90:358) in internal layouts, plus runtime extras.
+
+    Arrays are created host-side (numpy): per-array device zeros would mean
+    one tiny XLA compile per field, which is slow (and flaky) on the TPU
+    backend; the first jitted call transfers the whole pytree at once."""
     rdt = np.float64 if params.precision == "f64" else np.float32
     cdt = np.complex128 if params.precision == "f64" else np.complex64
     state = {}
@@ -98,17 +127,17 @@ def allocate_state(params: ModelParams, n_months: int = 1) -> dict:
             continue  # host-side counter
         shape = internal_shape(params, spec, n_months=n_months)
         if spec.kind == "c":
-            state[spec.name] = jnp.zeros(shape, dtype=cdt)
+            state[spec.name] = np.zeros(shape, dtype=cdt)
         elif spec.kind == "r":
-            state[spec.name] = jnp.zeros(shape, dtype=rdt)
+            state[spec.name] = np.zeros(shape, dtype=rdt)
         elif spec.kind == "i":
-            state[spec.name] = jnp.zeros(shape, dtype=jnp.int32)
+            state[spec.name] = np.zeros(shape, dtype=np.int32)
         elif spec.kind == "l":
-            state[spec.name] = jnp.zeros(shape, dtype=bool)
+            state[spec.name] = np.zeros(shape, dtype=bool)
     # Defaults (model_state.f90 "Initialize default values")
-    state["air_absortivity_co2"] = jnp.asarray(6.0, dtype=rdt)
-    state["ablco2_ref"] = jnp.asarray(6.0, dtype=rdt)
-    state["error_flag"] = jnp.asarray(False)
+    state["air_absortivity_co2"] = np.asarray(6.0, dtype=rdt)
+    state["ablco2_ref"] = np.asarray(6.0, dtype=rdt)
+    state["error_flag"] = np.asarray(False)
     if params.sppt_on:
         state.update(sppt_mod.init_sppt_state(params, jax.random.key(0)))
     return state
@@ -116,6 +145,75 @@ def allocate_state(params: ModelParams, n_months: int = 1) -> dict:
 
 def _physics_fn(consts):
     return get_physical_tendencies if consts.physics_on else None
+
+
+_DEVICE_INIT_CACHE: dict = {}
+
+
+def _make_device_init(consts: Consts, geom_np: Geometry):
+    """Jitted device-side initialization, cached per consts so repeated model
+    constructions (tests, ensembles) reuse one compilation. Calendar scalars
+    are traced arguments, so any start date hits the same executable."""
+    key = id(consts)
+    if key in _DEVICE_INIT_CACHE:
+        return _DEVICE_INIT_CACHE[key]
+
+    params = consts.params
+    sp = consts.sp
+    im_half = build_implicit(params, geom_np, consts.hd, 0.5 * params.delt)
+    im_full = build_implicit(params, geom_np, consts.hd, params.delt)
+    pf = _physics_fn(consts)
+
+    # Split into three jits: compile time on the TPU backend grows
+    # superlinearly with graph size, and the two bootstrap steps are each
+    # about the size of a regular step.
+    @jax.jit
+    def _init_fields(st, cs):
+        st = dict(st)
+        phi0 = pc.GRAV * st["orog"]
+        st["phi0"] = phi0
+        st["phis0"] = S.grid_filter(sp, phi0)
+        st["forog"] = set_orog_land_sfc_drag(st["phis0"])
+        st["fband"] = consts.fband
+
+        # Prognostics from the rest state (prognostics.f90:22-120)
+        st = initialize_from_rest_state(consts, st)
+        bad0 = check_diagnostics(consts, st, 0)
+
+        # Coupler day-0 exchange (coupler.f90:12-32)
+        st = couple_land_atm(consts, st, True, cs["imont1"], cs["tmonth"])
+        st = couple_sea_atm(consts, st, True, cs["imont1"], cs["tmonth"],
+                            cs["month_idx"])
+
+        # Forcing, imode=0 (forcing.f90:43-48 + daily part)
+        st["ablco2_ref"] = st["air_absortivity_co2"]
+        st = set_forcing(consts, st, cs["year_frac"], cs["tyear"])
+        st["error_flag"] = st["error_flag"] | bad0
+        return st, bad0
+
+    # First-step bootstrap: dt/2, dt (time_stepping.f90:13-27). The
+    # reference's compute_shortwave flag defaults to .true.
+    # (model_state.f90:780), so both bootstrap steps run shortwave.
+    ctx_true = {"compute_shortwave": jnp.asarray(True)}
+
+    @jax.jit
+    def _boot_half(st):
+        return step(consts.with_implicit(im_half), st, 1, 1,
+                    0.5 * params.delt, pf, ctx_true)
+
+    @jax.jit
+    def _boot_full(st):
+        return step(consts.with_implicit(im_full), st, 1, 2,
+                    params.delt, pf, ctx_true)
+
+    def _device_init(st, cs):
+        st, bad0 = _init_fields(st, cs)
+        st = _boot_half(st)
+        st = _boot_full(st)
+        return st, bad0
+
+    _DEVICE_INIT_CACHE[key] = _device_init
+    return _device_init
 
 
 def initialize(consts: Consts, state: dict, host_bc: dict,
@@ -127,71 +225,47 @@ def initialize(consts: Consts, state: dict, host_bc: dict,
     params = consts.params
     sp = consts.sp
     geom_np = host_bc["_geom_np"]
+    rdt = np.float64 if params.precision == "f64" else np.float32
 
-    # Boundary fields (boundaries.f90:22-37)
+    # Boundary fields (boundaries.f90:22-37) + host-side land/sea model
+    # initialization (numpy; needs only the raw BC arrays).
     state = dict(state)
     for name in ("orog", "fmask_orig", "alb0", "veg_high", "veg_low",
                  "soil_wc_l1", "soil_wc_l2", "soil_wc_l3"):
-        state[name] = jnp.asarray(host_bc[name])
-    phi0 = pc.GRAV * state["orog"]
-    state["phi0"] = phi0
-    state["phis0"] = S.grid_filter(sp, phi0)
-    state["forog"] = set_orog_land_sfc_drag(state["phis0"])
-    state["fband"] = consts.fband
+        state[name] = host_bc[name].astype(rdt)
 
-    # Prognostics from the rest state (prognostics.f90:22-120)
-    state = initialize_from_rest_state(consts, state)
-    if bool(check_diagnostics(consts, state, 0)):
+    land = land_model_init(params, {k: host_bc[k] for k in (
+        "fmask_orig", "stl12", "snowd12", "veg_high", "veg_low",
+        "soil_wc_l1", "soil_wc_l2", "alb0")})
+    for k, v in land.items():
+        state[k] = v.astype(rdt)
+
+    sea = sea_model_init(params, {k: host_bc[k] for k in (
+        "fmask_orig", "sst12", "sea_ice_frac12", "sst_anom")},
+        geom_np.radang)
+    for k, v in sea.items():
+        state[k] = v.astype(rdt)
+
+    # Everything else runs on device as ONE jitted computation (eager
+    # op-by-op execution would mean hundreds of tiny compiles on TPU).
+    device_init = _make_device_init(consts, geom_np)
+    cal_scalars = {
+        "imont1": jnp.asarray(cal.imont1, dtype=jnp.int32),
+        "tmonth": jnp.asarray(cal.tmonth, dtype=params.dtype),
+        "month_idx": jnp.asarray(cal.month_idx, dtype=jnp.int32),
+        "year_frac": jnp.asarray(cal.year + cal.tyear, dtype=params.dtype),
+        "tyear": jnp.asarray(cal.tyear, dtype=params.dtype),
+    }
+    state, bad0 = device_init(state, cal_scalars)
+    if bool(bad0):
         raise SpeedyError("Initial state failed the diagnostics check")
 
-    # Land model init (land_model.f90:18-148) — host side
-    land = land_model_init(params, {
-        "fmask_orig": np.asarray(state["fmask_orig"]),
-        "stl12": host_bc["stl12"],
-        "snowd12": host_bc["snowd12"],
-        "veg_high": host_bc["veg_high"],
-        "veg_low": host_bc["veg_low"],
-        "soil_wc_l1": host_bc["soil_wc_l1"],
-        "soil_wc_l2": host_bc["soil_wc_l2"],
-        "alb0": host_bc["alb0"],
-    })
-    for k, v in land.items():
-        state[k] = jnp.asarray(v)
-    state = couple_land_atm(consts, state, True, cal.imont1, cal.tmonth)
-
-    # Sea model init (sea_model.f90:33-191) — host side
-    sea = sea_model_init(params, {
-        "fmask_orig": np.asarray(state["fmask_orig"]),
-        "sst12": host_bc["sst12"],
-        "sea_ice_frac12": host_bc["sea_ice_frac12"],
-        "sst_anom": host_bc["sst_anom"],
-    }, geom_np.radang)
-    for k, v in sea.items():
-        state[k] = jnp.asarray(v)
-    state = couple_sea_atm(consts, state, True, cal.imont1, cal.tmonth,
-                           cal.month_idx)
-
-    # Forcing, imode=0 (forcing.f90:43-48 + daily part)
-    state["ablco2_ref"] = state["air_absortivity_co2"]
-    state = set_forcing(consts, state, cal.year + cal.tyear, cal.tyear)
-
-    # First-step bootstrap: dt/2, dt (time_stepping.f90:13-27). The
-    # reference's compute_shortwave flag defaults to .true.
-    # (model_state.f90:780), so both bootstrap steps run shortwave.
-    geom_np2 = host_bc["_geom_np"]
-    im_half = build_implicit(params, geom_np2, consts.hd, 0.5 * params.delt)
-    im_full = build_implicit(params, geom_np2, consts.hd, params.delt)
-    ctx = {"compute_shortwave": jnp.asarray(True)}
-    pf = _physics_fn(consts)
-    state = step(consts.with_implicit(im_half), state, 1, 1,
-                 0.5 * params.delt, pf, ctx)
-    state = step(consts.with_implicit(im_full), state, 1, 2,
-                 params.delt, pf, ctx)
-
     # Coordinates (initialization.f90:85-87)
-    state["lev"] = jnp.asarray(geom_np.fsg)
-    state["lon"] = jnp.asarray(360.0 / params.ix * np.arange(params.ix))
-    state["lat"] = jnp.asarray(geom_np.radang * 90.0 / np.arcsin(1.0))
+    state["lev"] = jnp.asarray(geom_np.fsg.astype(rdt))
+    state["lon"] = jnp.asarray((360.0 / params.ix
+                                * np.arange(params.ix)).astype(rdt))
+    state["lat"] = jnp.asarray(
+        (geom_np.radang * 90.0 / np.arcsin(1.0)).astype(rdt))
     return state
 
 
@@ -234,12 +308,20 @@ def build_step_ctx(cal: ModelCalendar, current_step: int, n_steps: int):
     return ctx, cal
 
 
-def make_run_steps(consts: Consts):
-    """Build the jitted n-step integrator (shapes specialize on n)."""
+def make_single_step(consts: Consts):
+    """The full per-step update (the body of do_single_step,
+    speedy.f90:20-74) as a pure state -> state function; ctx_i carries the
+    step's calendar scalars."""
     params = consts.params
     pf = _physics_fn(consts)
 
     def single_step(state, ctx_i):
+        # Calendar scalars arrive at the ambient float width; cast to the
+        # model dtype so cond branches agree in mixed-precision runs.
+        ctx_i = dict(ctx_i)
+        for k in ("tyear", "year_frac", "tmonth"):
+            ctx_i[k] = ctx_i[k].astype(params.dtype)
+
         # Daily forcing (speedy.f90:47-50)
         def with_forcing(st):
             return set_forcing(consts, st, ctx_i["year_frac"], ctx_i["tyear"])
@@ -260,6 +342,13 @@ def make_run_steps(consts: Consts):
         state = couple_sea_atm(consts, state, False, ctx_i["imont1"],
                                ctx_i["tmonth"], ctx_i["month_idx"])
         return state
+
+    return single_step
+
+
+def make_run_steps(consts: Consts):
+    """Build the jitted n-step integrator (shapes specialize on n)."""
+    single_step = make_single_step(consts)
 
     @jax.jit
     def run_steps(state, ctx):

@@ -41,9 +41,9 @@ def initialize_from_rest_state(consts, state):
     rgamr = 1.0 / rgam
 
     surfs = -gam1 * phis
-    surfs = surfs.at[0, 0].set(np.sqrt(2.0) * tref - gam1 * phis[0, 0])
+    surfs = surfs.at[0, 0].set(float(np.sqrt(2.0)) * tref - gam1 * phis[0, 0])
 
-    t_levels = [jnp.zeros_like(phis).at[0, 0].set(np.sqrt(2.0) * ttop)
+    t_levels = [jnp.zeros_like(phis).at[0, 0].set(float(np.sqrt(2.0)) * ttop)
                 for _ in range(2)]
     for k in range(2, kx):
         t_levels.append(surfs * geom.fsg[k] ** rgam)
@@ -52,7 +52,7 @@ def initialize_from_rest_state(consts, state):
 
     # log(normalized ps) consistent with the temperature profile, p=1013 hPa
     # at z=0 (prognostics.f90:83-94).
-    rlog0 = np.log(1.013)
+    rlog0 = float(np.log(1.013))
     surfg = rlog0 + rgamr * jnp.log(1.0 - gam2 * state["phis0"])
     ps1 = S.truncate(sp, S.grid2spec(sp, surfg)) if params.ix == 4 * params.iy \
         else S.grid2spec(sp, surfg)

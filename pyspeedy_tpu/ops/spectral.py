@@ -134,8 +134,12 @@ class SpectralTransform(NamedTuple):
     uvdyp: jnp.ndarray
     vddym: jnp.ndarray
     vddyp: jnp.ndarray
-    # Static sizes (weak refs through shapes)
-    # (kept implicitly; mx/nx/il/ix are derived from table shapes)
+    # Zonal DFT as matmul (MXU-friendly alternative to jnp.fft):
+    dft_fwd_re: jnp.ndarray  # (ix, mx) cos(2 pi m i / ix) / ix
+    dft_fwd_im: jnp.ndarray  # (ix, mx) -sin(2 pi m i / ix) / ix
+    dft_inv_re: jnp.ndarray  # (mx, ix) (2-delta_m0) cos(2 pi m i / ix)
+    dft_inv_im: jnp.ndarray  # (mx, ix) -(2-delta_m0) sin(2 pi m i / ix)
+    use_matmul_fft: bool = False  # static flag, not a pytree leaf in practice
 
     @property
     def iy(self):
@@ -162,11 +166,18 @@ class SpectralTransform(NamedTuple):
         return jnp.complex128 if self.rdtype == jnp.float64 else jnp.complex64
 
     def astype(self, dtype) -> "SpectralTransform":
-        return SpectralTransform(*(jnp.asarray(a, dtype=dtype) for a in self))
+        return SpectralTransform(
+            *(jnp.asarray(a, dtype=dtype) if not isinstance(a, bool) else a
+              for a in self))
 
 
-def build_spectral(params: ModelParams, geom: Geometry) -> SpectralTransform:
-    """Build all transform tables (numpy f64, cast to the configured dtype)."""
+def build_spectral(params: ModelParams, geom: Geometry,
+                   use_matmul_fft: bool = False) -> SpectralTransform:
+    """Build all transform tables (numpy f64, cast to the configured dtype).
+
+    use_matmul_fft selects a dense-DFT zonal transform (one (ix, 2mx) matmul
+    per direction) instead of jnp.fft — on the MXU the batched matmul is both
+    faster at this size and shardable."""
     mx, nx, iy, trunc = params.mx, params.nx, params.iy, params.trunc
 
     epsi, repsi = _epsi_tables(mx, nx)
@@ -220,6 +231,15 @@ def build_spectral(params: ModelParams, geom: Geometry) -> SpectralTransform:
     uvdyp = -pc.REARTH * eps_p / (ell + 1.0)
     vddyp = ell * eps_p / pc.REARTH
 
+    # Zonal DFT matrices
+    ix = params.ix
+    theta = 2.0 * np.pi * np.outer(np.arange(ix), np.arange(mx)) / ix
+    dft_fwd_re = np.cos(theta) / ix
+    dft_fwd_im = -np.sin(theta) / ix
+    dup = np.where(np.arange(mx) == 0, 1.0, 2.0)
+    dft_inv_re = (dup[:, None] * np.cos(theta).T)
+    dft_inv_im = (-dup[:, None] * np.sin(theta).T)
+
     dt = np.float64 if params.precision == "f64" else np.float32
     a = lambda x: jnp.asarray(np.asarray(x, dtype=dt))
     return SpectralTransform(
@@ -229,6 +249,9 @@ def build_spectral(params: ModelParams, geom: Geometry) -> SpectralTransform:
         gradx=a(gradx), gradym=a(gradym), gradyp=a(gradyp),
         uvdx=a(uvdx), uvdym=a(uvdym), uvdyp=a(uvdyp),
         vddym=a(vddym), vddyp=a(vddyp),
+        dft_fwd_re=a(dft_fwd_re), dft_fwd_im=a(dft_fwd_im),
+        dft_inv_re=a(dft_inv_re), dft_inv_im=a(dft_inv_im),
+        use_matmul_fft=use_matmul_fft,
     )
 
 
@@ -242,6 +265,10 @@ def _fourier_direct(sp: SpectralTransform, grid: jnp.ndarray) -> jnp.ndarray:
     numpy's rfft convention (C - iS packing) coincides with FFTPACK's rfftf.
     """
     ix = grid.shape[-1]
+    if sp.use_matmul_fft:
+        re = jnp.einsum("...i,im->...m", grid, sp.dft_fwd_re)
+        im = jnp.einsum("...i,im->...m", grid, sp.dft_fwd_im)
+        return (re + 1j * im).astype(sp.cdtype)
     F = jnp.fft.rfft(grid, axis=-1)[..., : sp.mx] / ix
     return F.astype(sp.cdtype)
 
@@ -255,10 +282,15 @@ def _fourier_inverse(sp: SpectralTransform, F: jnp.ndarray, kcos: int) -> jnp.nd
     """
     ix = 2 * sp.il  # ix == 2*il for the supported grids (96 = 2*48)
     F = F.at[..., 0].set(F[..., 0].real.astype(F.dtype))
-    pad = [(0, 0)] * (F.ndim - 1) + [(0, ix // 2 + 1 - sp.mx)]
-    Fp = jnp.pad(F, pad)
-    g = jnp.fft.irfft(Fp, n=ix, axis=-1) * ix
-    g = g.astype(sp.rdtype)
+    if sp.use_matmul_fft:
+        g = (jnp.einsum("...m,mi->...i", F.real, sp.dft_inv_re)
+             + jnp.einsum("...m,mi->...i", F.imag, sp.dft_inv_im))
+        g = g.astype(sp.rdtype)
+    else:
+        pad = [(0, 0)] * (F.ndim - 1) + [(0, ix // 2 + 1 - sp.mx)]
+        Fp = jnp.pad(F, pad)
+        g = jnp.fft.irfft(Fp, n=ix, axis=-1) * ix
+        g = g.astype(sp.rdtype)
     if kcos != 1:
         g = g * sp.cosgr[:, None]
     return g

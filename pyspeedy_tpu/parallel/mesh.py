@@ -1,0 +1,82 @@
+"""Device-mesh and sharding layout for scale-out.
+
+The reference's entire distributed layer is an OpenMP loop over ensemble
+members (speedy_driver.f90:58-79). The TPU-native replacement is an
+("ensemble", "space") jax.sharding.Mesh:
+
+* the member axis of the batched state is sharded over "ensemble"
+  (pure data parallelism — members never communicate);
+* grid-space fields are sharded over latitude on "space" (the pencil
+  decomposition of a spectral model: physics is column-local, so the only
+  "space" communication is the all-to-all XLA inserts inside the
+  grid<->spectral transforms);
+* spectral (m, n) fields are sharded over m on "space".
+
+With these input/output shardings declared on the jitted step, XLA's SPMD
+partitioner inserts the transpose collectives over ICI automatically.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["make_mesh", "ensemble_state_sharding", "ensemble_ctx_sharding"]
+
+
+def make_mesh(n_ensemble: int = None, n_space: int = 1, devices=None) -> Mesh:
+    """Build an ("ensemble", "space") mesh over the available devices."""
+    if devices is None:
+        devices = jax.devices()
+    n_dev = len(devices)
+    if n_ensemble is None:
+        n_ensemble = n_dev // n_space
+    if n_ensemble * n_space != n_dev:
+        raise ValueError(
+            f"mesh {n_ensemble}x{n_space} != device count {n_dev}")
+    dev_array = np.asarray(devices).reshape(n_ensemble, n_space)
+    return Mesh(dev_array, axis_names=("ensemble", "space"))
+
+
+def _spec_for_array(name: str, arr, shard_space: bool, n_space: int) -> P:
+    """PartitionSpec for one batched state array (leading member axis)."""
+    ndim = arr.ndim
+    if ndim <= 1:  # scalar per member
+        return P("ensemble")
+
+    def with_axis(axis):
+        spec = [None] * ndim
+        spec[0] = "ensemble"
+        if shard_space and arr.shape[axis] % n_space == 0:
+            spec[axis] = "space"
+        return P(*spec)
+
+    if np.iscomplexobj(arr):
+        # spectral (..., mx, nx): shard total-wavenumber n (innermost, even
+        # size) over "space"; the Legendre contraction then reduces over a
+        # sharded axis and XLA inserts the transpose collective.
+        return with_axis(ndim - 1)
+    if ndim >= 3:
+        # grid (..., il, ix): latitude-band sharding over "space"
+        return with_axis(ndim - 2)
+    return P("ensemble", *([None] * (ndim - 1)))
+
+
+def ensemble_state_sharding(mesh: Mesh, state: dict, shard_space: bool = True):
+    """NamedSharding pytree for a member-batched state dict."""
+    n_space = mesh.shape["space"]
+    shardings = {}
+    for name, arr in state.items():
+        if name in ("sppt_key",):
+            shardings[name] = NamedSharding(mesh, P("ensemble"))
+            continue
+        shardings[name] = NamedSharding(
+            mesh, _spec_for_array(name, arr, shard_space, n_space))
+    return shardings
+
+
+def ensemble_ctx_sharding(mesh: Mesh, ctx: dict):
+    """Per-step calendar scalars are replicated."""
+    return {k: NamedSharding(mesh, P()) for k in ctx}

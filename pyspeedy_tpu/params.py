@@ -40,6 +40,10 @@ class ModelParams:
     # Numerics: "f64" for reference parity, "f32" for the TPU fast path.
     precision: str = "f64"
 
+    # Zonal transform implementation: "fft" (jnp.fft), "matmul" (dense DFT,
+    # MXU-friendly and shardable), or "auto" (matmul on accelerators).
+    fft_mode: str = "auto"
+
     # The reference evaluates Legendre polynomials at first-guess (and
     # f32-rounded) Gaussian nodes while the quadrature weights are
     # Newton-converged (geometry.f90:110 vs legendre.f90:224-257), making its

@@ -86,7 +86,8 @@ def get_convection_tendencies(geom, psa, se, qa, qsat):
 
     # Entrainment profile (convection.f90:62-70), 1-based k = 2..kx-1.
     entr_raw = jnp.maximum(0.0, fsg[1:kx - 1] - 0.5) ** 2
-    entr = jnp.zeros(kx).at[1:kx - 1].set(ENTMAX * entr_raw / jnp.sum(entr_raw))
+    entr = jnp.zeros(kx, dtype=psa.dtype).at[1:kx - 1].set(
+        (ENTMAX * entr_raw / jnp.sum(entr_raw)).astype(psa.dtype))
 
     itop, qdif = diagnose_convection(geom, psa, se, qa, qsat)
     active = itop <= kx

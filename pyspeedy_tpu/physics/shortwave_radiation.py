@@ -83,7 +83,7 @@ def clouds(qa, rh, precnv, precls, iptop, gse, fmask):
 def solar_insolation(tyear, csol, coa, sia):
     """Hartmann (1994) daily-average TOA insolation by latitude
     (shortwave_radiation.f90:276-322)."""
-    pigr = 2.0 * np.arcsin(1.0)
+    pigr = float(2.0 * np.arcsin(1.0))
     alpha = 2.0 * pigr * tyear
     ca1 = jnp.cos(alpha)
     sa1 = jnp.sin(alpha)
@@ -116,12 +116,12 @@ def get_zonal_average_fields(geom, tyear):
     coa = jnp.asarray(geom.coa)
     sia = jnp.asarray(geom.sia)
 
-    alpha = 4.0 * np.arcsin(1.0) * (tyear + 10.0 / 365.0)
+    alpha = float(4.0 * np.arcsin(1.0)) * (tyear + 10.0 / 365.0)
     coz1 = jnp.maximum(0.0, jnp.cos(alpha))
     coz2 = 1.8
     azen = 1.0
     nzen = 2
-    rzen = -jnp.cos(alpha) * 23.45 * np.arcsin(1.0) / 90.0
+    rzen = -jnp.cos(alpha) * float(23.45 * np.arcsin(1.0) / 90.0)
     fs0 = 6.0
 
     topsr = solar_insolation(tyear, 4.0 * SOLC, coa, sia)

@@ -28,7 +28,7 @@ def _phi(params):
 
 def _sigma(params, sp):
     """Wavenumber-dependent amplitude (sppt.f90:84-92)."""
-    n = jnp.arange(1, params.trunc + 1)
+    n = jnp.arange(1, params.trunc + 1, dtype=sp.el2.dtype)
     f0 = jnp.sum((2 * n + 1) * jnp.exp(
         -0.5 * (LEN_DECORR / pc.REARTH) ** 2 * n * (n + 1)))
     f0 = jnp.sqrt((STDDEV**2 * (1 - _phi(params) ** 2)) / (2 * f0))

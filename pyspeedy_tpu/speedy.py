@@ -102,8 +102,11 @@ class Speedy:
         if var_name == "current_step":
             return self._current_step
         spec = self._spec_for(var_name)
-        arr = np.asarray(self._state[var_name])
-        return to_api_array(spec, arr)
+        # A writable host copy, like the reference's f2py getters
+        # (speedy_driver.f90 get_* copy out).
+        arr = np.array(self._state[var_name])
+        out = to_api_array(spec, arr)
+        return np.ascontiguousarray(out) if out.ndim else out
 
     def get_shape(self, var_name):
         spec = self._spec_for(var_name)
@@ -176,7 +179,7 @@ class Speedy:
             "sst_anom": self._sst_anom_data,
         }
 
-        consts, geom_np = M.build_consts(self.params)
+        consts, geom_np = M.build_consts_cached(self.params)
         host_bc["_geom_np"] = geom_np
         self._consts = consts
         state = M.allocate_state(
@@ -255,7 +258,7 @@ class Speedy:
 
     def _get_run_fn(self):
         if not self._run_steps_fn.get("fn"):
-            self._run_steps_fn["fn"] = M.make_run_steps(self._consts)
+            self._run_steps_fn["fn"] = M.make_run_steps_cached(self._consts)
         return self._run_steps_fn["fn"]
 
     def _advance(self, n_steps):
@@ -299,11 +302,63 @@ class Speedy:
 
     # -- conversions and export -------------------------------------------
 
+    _GLOBAL_JIT_CACHE = {}
+
+    def _jitted(self, name, fn):
+        key = (id(self._consts), name)
+        cache = Speedy._GLOBAL_JIT_CACHE
+        if key not in cache:
+            import jax
+            cache[key] = jax.jit(fn)
+        return cache[key]
+
     def grid2spectral(self):
-        self._state = prog.grid2spectral(self._consts, self._state)
+        consts = self._consts
+        self._state = self._jitted(
+            "g2s", lambda st: prog.grid2spectral(consts, st))(self._state)
 
     def spectral2grid(self):
-        self._state = prog.spectral2grid(self._consts, self._state)
+        consts = self._consts
+        self._state = self._jitted(
+            "s2g", lambda st: prog.spectral2grid(consts, st))(self._state)
+
+    def apply_grid_filter(self):
+        """Spectrally truncate the grid-space prognostic mirrors (reference
+        driver: apply_grid_filter, speedy_driver.f90)."""
+        self._state = prog.grid_filter_prognostics(self._consts, self._state)
+
+    # -- checkpoint / restore ---------------------------------------------
+
+    def save_checkpoint(self, path):
+        """Save the full model state (a flat pytree of arrays) plus the
+        stepping metadata. The reference has no binary restart files — its
+        mechanism is full state exposure through get/set (SURVEY.md §5);
+        this adds a one-call save/restore on top of the same state dict."""
+        arrays = {k: np.asarray(v) for k, v in self._state.items()}
+        meta = dict(
+            current_step=self._current_step,
+            cal=(self._cal.year, self._cal.month, self._cal.day,
+                 self._cal.hour, self._cal.minute, self._cal.month_idx),
+            current_date=self.current_date.isoformat(),
+        )
+        np.savez_compressed(path, __meta__=np.asarray([repr(meta)]), **arrays)
+
+    def load_checkpoint(self, path):
+        """Restore a state saved by save_checkpoint. The model must already
+        be initialized (set_bc) with the same configuration."""
+        import ast
+
+        with np.load(path, allow_pickle=False) as data:
+            meta = ast.literal_eval(str(data["__meta__"][0]))
+            for k in self._state:
+                if k in data.files:
+                    self._state[k] = jnp.asarray(
+                        data[k], dtype=self._state[k].dtype)
+        self._current_step = int(meta["current_step"])
+        y, m, d, h, mi, midx = meta["cal"]
+        self._cal = ModelCalendar(y, m, d, h, mi, month_idx=midx,
+                                  nsteps=self.params.nsteps)
+        self.current_date = datetime.fromisoformat(meta["current_date"])
 
     def check(self):
         """Diagnostics range check (reference: pyspeedy/speedy.py:479-483)."""
@@ -345,7 +400,8 @@ class Speedy:
                              {"axis": "T", "standard_name": "time"}),
         }
         if self.is_ensemble_member:
-            coords["ens"] = Variable(("ens",), np.array([self.member_id]))
+            coords["ens"] = Variable(("ens",),
+                                     np.array([self.member_id], dtype="int32"))
 
         ds = Dataset(data_vars=data_vars, coords=coords)
         sorted_dims = (("time", "ens", "lev", "lat", "lon")

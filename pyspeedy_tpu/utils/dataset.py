@@ -240,15 +240,26 @@ def merge(datasets, join="outer", compat="no_conflicts"):
         return Dataset()
     out = Dataset(attrs=datasets[0].attrs)
 
-    # union of coordinates
+    # Union of coordinates, preserving first-seen order (so reversed-lev
+    # exports keep their coordinate ordering, like xarray's merge).
     for ds in datasets:
         for cname, cv in ds.coords.items():
             if cname not in out.coords:
                 out.coords[cname] = Variable(cv.dims, cv.data.copy(), cv.attrs)
             else:
-                merged = np.unique(np.concatenate(
-                    [out.coords[cname].data, cv.data]))
-                out.coords[cname] = Variable(cv.dims, merged, cv.attrs)
+                have = out.coords[cname].data
+                extra = [x for x in cv.data if not np.isin(x, have)]
+                if extra:
+                    out.coords[cname] = Variable(
+                        cv.dims, np.concatenate([have, np.asarray(extra)]),
+                        cv.attrs)
+
+    def positions(coord_vals, member_vals):
+        pos = np.empty(len(member_vals), dtype=np.int64)
+        for i, val in enumerate(member_vals):
+            hits = np.nonzero(coord_vals == val)[0]
+            pos[i] = hits[0]
+        return pos
 
     for ds in datasets:
         for name, v in ds.data_vars.items():
@@ -263,11 +274,9 @@ def merge(datasets, join="outer", compat="no_conflicts"):
             idx = []
             for d, s in zip(v.dims, v.data.shape):
                 if d in out.coords and d in ds.coords:
-                    pos = np.searchsorted(out.coords[d].data,
-                                          ds.coords[d].data)
-                    idx.append(pos)
+                    idx.append(positions(out.coords[d].data,
+                                         ds.coords[d].data))
                 else:
                     idx.append(np.arange(s))
-            sub = np.ix_(*idx)
-            tgt.data[sub] = v.data
+            tgt.data[np.ix_(*idx)] = v.data
     return out

@@ -1,0 +1,82 @@
+"""Model-configuration tests: dynamics-only runs (BASELINE config #2), SPPT
+stochastic physics (config #4), float32 stability, and long-horizon
+stability from synthetic boundary conditions."""
+
+import dataclasses
+from datetime import datetime
+
+import numpy as np
+import pytest
+
+import jax
+
+from pyspeedy_tpu.models import model as M
+from pyspeedy_tpu.params import T30L8
+from pyspeedy_tpu.testing import make_demo_model, synthetic_host_bc
+from pyspeedy_tpu.utils.calendar import ModelCalendar
+
+
+def run_days(params, days, **flags):
+    consts, geom_np = M.build_consts(params, **flags)
+    host_bc = synthetic_host_bc(params, geom_np)
+    host_bc["_geom_np"] = geom_np
+    state = M.allocate_state(params, n_months=1)
+    cal = ModelCalendar.from_datetime(datetime(1982, 1, 1),
+                                      nsteps=params.nsteps)
+    state = M.initialize(consts, state, host_bc, cal)
+    run = M.make_run_steps(consts)
+    ctx, cal = M.build_step_ctx(cal, 2, days * params.nsteps)
+    state = run(state, ctx)
+    return consts, state
+
+
+def test_dynamics_only_240_steps():
+    """Physics-off T30L8 run: 240 steps stable from the rest state
+    (BASELINE milestone A / config #2)."""
+    params = T30L8
+    consts, state = run_days(params, 7, physics_on=False)  # 252 steps
+    assert not bool(state["error_flag"])
+    vor = np.asarray(state["vor"])
+    assert np.isfinite(vor).all()
+    # Without physics there is no diabatic forcing: flow stays weak
+    t_mean = float(state["t"][0, -1, 0, 0].real) / np.sqrt(2.0)
+    assert 200.0 < t_mean < 320.0
+
+
+def test_sppt_ensemble_spread():
+    """SPPT on: two members with different RNG keys diverge; the pattern is
+    bounded by the clipping (sppt.f90:106) and the AR(1) state persists."""
+    params = dataclasses.replace(T30L8, sppt_on=True)
+    consts, state, cal = make_demo_model(params)
+    assert "sppt_spec" in state
+
+    run = M.make_run_steps(consts)
+    import copy
+    state_b = dict(state)
+    state_b["sppt_key"] = jax.random.key(12345)
+
+    ctx, _ = M.build_step_ctx(dataclasses.replace(cal), 2, 12)
+    out_a = run(dict(state), ctx)
+    ctx, _ = M.build_step_ctx(dataclasses.replace(cal), 2, 12)
+    out_b = run(state_b, ctx)
+
+    da = np.abs(np.asarray(out_a["t"] - out_b["t"])).max()
+    assert da > 1e-10, "SPPT members with different keys must diverge"
+    # AR(1) state persisted and is nonzero
+    assert np.abs(np.asarray(out_a["sppt_spec"])).max() > 0
+    assert not bool(out_a["error_flag"])
+
+
+def test_f32_week_stable():
+    params = dataclasses.replace(T30L8, precision="f32", fft_mode="matmul")
+    consts, state = run_days(params, 7)
+    assert not bool(state["error_flag"])
+    assert np.isfinite(np.asarray(state["t_grid"] if "t_grid" in state
+                                  else state["t"])).all()
+
+
+def test_synthetic_month_stable():
+    consts, state = run_days(T30L8, 30)
+    assert not bool(state["error_flag"])
+    ke_proxy = np.abs(np.asarray(state["vor"])).max()
+    assert np.isfinite(ke_proxy)

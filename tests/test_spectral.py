@@ -178,3 +178,18 @@ def test_uv_from_pure_rotation(exact):
     expected_vor = 2.0 * U0 / 6.371e6 * geom.sia[:, None] * np.ones((48, 96))
     np.testing.assert_allclose(np.asarray(vor_g), expected_vor, atol=1e-12)
     assert np.max(np.abs(np.asarray(S.spec2grid(sp, div, 1)))) < 1e-12
+
+
+def test_matmul_dft_equals_fft(exact):
+    # The MXU matmul-DFT path must agree with the FFT path to roundoff.
+    geom = build_geometry(EXACT)
+    sp_fft = S.build_spectral(EXACT, geom, use_matmul_fft=False)
+    sp_mm = S.build_spectral(EXACT, geom, use_matmul_fft=True)
+    rng = np.random.default_rng(7)
+    g = jnp.asarray(rng.standard_normal((4, 48, 96)))
+    s1 = S.grid2spec(sp_fft, g)
+    s2 = S.grid2spec(sp_mm, g)
+    np.testing.assert_allclose(np.asarray(s2), np.asarray(s1), atol=1e-13)
+    g1 = S.spec2grid(sp_fft, s1, 2)
+    g2 = S.spec2grid(sp_mm, s1, 2)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), atol=1e-12)

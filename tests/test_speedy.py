@@ -1,0 +1,229 @@
+"""Integration/regression tests for the public Speedy API, mirroring the
+reference test strategy (pyspeedy/tests/test_speedy.py):
+
+* golden-run regression with a tolerance ladder against this repo's own
+  fixtures (tight, rtol down to 1e-6);
+* comparison against the *reference repository's* fixtures at the accuracy
+  floor set by its missing sst_anomaly.nc input data (the residual matches
+  the measured day-1 sensitivity to ~0.5 K SST anomalies — see README);
+* state-isolation (two interleaved instances), ensemble-vs-deterministic
+  equivalence, failure paths, and variable-export naming.
+"""
+
+import math
+import os
+import tempfile
+from datetime import datetime, timedelta
+
+import numpy as np
+import pytest
+
+import pyspeedy_tpu  # noqa: F401  (triggers jax config via conftest)
+from pyspeedy_tpu.callbacks import XarrayExporter
+from pyspeedy_tpu.speedy import Speedy, SpeedyEns
+from pyspeedy_tpu.utils.dataset import open_dataset
+
+FIXTURE_DIR = os.path.join(os.path.dirname(__file__), "fixtures")
+REF_FIXTURE_DIR = "/root/reference/pyspeedy/tests/fixtures"
+
+start_dates = (
+    # Run the same date twice to catch any leaked global state.
+    (datetime(1982, 1, 1), datetime(1982, 1, 2)),
+    (datetime(1982, 1, 1), datetime(1982, 1, 2)),
+    (datetime(1982, 1, 1), datetime(1982, 1, 4)),
+)
+
+export_variables = (
+    ["u_grid", "v_grid"],
+    ["t_grid", "q_grid"],
+    ["phi_grid", "ps_grid"],
+    ["precnv", "precls"],
+)
+
+
+def assert_ds_allclose(a, b, rtol, atol=0.0):
+    for v in b.keys():
+        x = np.asarray(a[v].data, dtype=np.float64)
+        y = np.asarray(b[v].data, dtype=np.float64)
+        np.testing.assert_allclose(x, y, rtol=rtol, atol=atol,
+                                   err_msg=f"variable {v}")
+
+
+@pytest.mark.parametrize("start_date, end_date", start_dates)
+def test_speedy_run(start_date, end_date):
+    """Golden-run regression against this repo's fixtures with the
+    reference's tolerance-ladder pattern."""
+    file_name = end_date.strftime("%Y-%m-%d_%H%M.nc")
+    reference_ds = open_dataset(os.path.join(FIXTURE_DIR, file_name))
+
+    with tempfile.TemporaryDirectory() as tmp_work_dir:
+        model = Speedy(start_date=start_date, end_date=end_date)
+        model.set_bc()
+        model.run(callbacks=[XarrayExporter(output_dir=tmp_work_dir)])
+
+        model_ds = open_dataset(os.path.join(tmp_work_dir, file_name))
+        for rtol in (1e-1, 1e-2, 1e-3, 1e-4, 1e-6):
+            assert_ds_allclose(model_ds, reference_ds, rtol=rtol)
+
+
+@pytest.mark.parametrize("day, file_name",
+                         [(1, "1982-01-02_0000.nc"), (3, "1982-01-04_0000.nc")])
+def test_against_reference_repo_fixtures(day, file_name):
+    """Track the reference repository's own golden fixtures. The residual is
+    bounded by the reference's missing SST-anomaly input data (zero anomalies
+    are used here); this pins the achievable agreement so regressions that
+    push beyond the SST floor are caught."""
+    ref = open_dataset(os.path.join(REF_FIXTURE_DIR, file_name))
+    mine = open_dataset(os.path.join(FIXTURE_DIR, file_name))
+    limits_rms = {"u": 0.035, "v": 0.04, "t": 1.5e-3, "q": 1.2e-2,
+                  "phi": 5e-4, "ps": 1.5e-3}
+    for v, lim in limits_rms.items():
+        a = np.asarray(mine[v].data, np.float64).squeeze()
+        b = np.asarray(ref[v].data, np.float64).squeeze()
+        scale = np.abs(b).max()
+        rms = math.sqrt(float(((a - b) ** 2).mean())) / scale
+        assert rms < lim, f"{v}: rms/scale {rms:.2e} exceeds {lim}"
+
+
+def test_speedy_concurrent():
+    """Two interleaved instances must both match the golden run — the vmap/
+    pytree analog of the reference's thread-safety test."""
+    start_date = datetime(1982, 1, 1)
+    end_date = datetime(1982, 1, 4)
+    ndays = 3
+    file_name = end_date.strftime("%Y-%m-%d_%H%M.nc")
+    reference_ds = open_dataset(os.path.join(FIXTURE_DIR, file_name))
+
+    with tempfile.TemporaryDirectory() as tmp_work_dir:
+        d1 = os.path.join(tmp_work_dir, "run1")
+        d2 = os.path.join(tmp_work_dir, "run2")
+
+        model = Speedy(start_date=start_date, end_date=end_date)
+        model.set_bc()
+        model2 = Speedy(start_date=start_date, end_date=end_date)
+        model2.set_bc()
+
+        for day in range(ndays):
+            model.start_date = start_date + timedelta(days=day)
+            model.end_date = start_date + timedelta(days=day + 1)
+            model.run(callbacks=[XarrayExporter(output_dir=d1)])
+
+            model2.start_date = start_date + timedelta(days=day)
+            model2.end_date = start_date + timedelta(days=day + 1)
+            model2.run(callbacks=[XarrayExporter(output_dir=d2)])
+
+        for d in (d1, d2):
+            model_ds = open_dataset(os.path.join(d, file_name))
+            assert_ds_allclose(model_ds, reference_ds, rtol=1e-6)
+
+
+def test_ens_speedy():
+    """Unperturbed ensemble members must reproduce the deterministic run."""
+    num_of_members = 3
+    start_date = datetime(1982, 1, 1)
+    end_date = datetime(1982, 1, 2)
+    file_name = end_date.strftime("%Y-%m-%d_%H%M.nc")
+    reference_ds = open_dataset(os.path.join(FIXTURE_DIR, file_name))
+
+    model_ens = SpeedyEns(num_of_members, start_date=start_date,
+                          end_date=end_date)
+    for member in model_ens:
+        member.set_bc()
+    with tempfile.TemporaryDirectory() as tmp_work_dir:
+        model_ens.run(callbacks=[XarrayExporter(output_dir=tmp_work_dir)])
+
+        model_ens_ds = open_dataset(os.path.join(tmp_work_dir, file_name))
+        for m, member in enumerate(model_ens):
+            member_df = member.to_dataframe().squeeze(dim="ens", drop=True)
+            assert_ds_allclose(member_df, reference_ds, rtol=1e-6)
+        for m in range(num_of_members):
+            member_ds = model_ens_ds.sel(ens=m)
+            assert_ds_allclose(member_ds, reference_ds, rtol=1e-6)
+
+
+def test_exceptions():
+    """Zeroing spectral T must trip the diagnostics check."""
+    model = Speedy(start_date=datetime(1982, 1, 1),
+                   end_date=datetime(1982, 1, 2))
+    model.set_bc()
+    model.run()
+
+    t = model["t"]
+    t[:] = 0
+    model["t"] = t
+    with pytest.raises(RuntimeError):
+        model.check()
+
+
+@pytest.mark.parametrize("variables", export_variables)
+def test_speedy_variable_export(variables):
+    """Exported variable names strip the _grid suffix via alt_name."""
+    start_date = datetime(1982, 1, 1)
+    end_date = datetime(1982, 1, 2)
+    file_name = end_date.strftime("%Y-%m-%d_%H%M.nc")
+
+    with tempfile.TemporaryDirectory() as tmp_work_dir:
+        model = Speedy(start_date=start_date, end_date=end_date)
+        model.set_bc()
+        exporter = XarrayExporter(output_dir=tmp_work_dir,
+                                  variables=variables)
+        model.run(callbacks=[exporter])
+
+        model_ds = open_dataset(os.path.join(tmp_work_dir, file_name))
+        assert set(v.replace("_grid", "") for v in variables) == \
+            set(model_ds.keys())
+
+
+def test_state_get_set_roundtrip():
+    """Dict-style state access round-trips through the Fortran-order API
+    layout (pyspeedy/speedy.py:125-167 semantics)."""
+    model = Speedy(start_date=datetime(1982, 1, 1),
+                   end_date=datetime(1982, 1, 2))
+    model.set_bc()
+    for name in ("vor", "t_grid", "ps_grid", "stl12", "slru", "rad_tau2"):
+        arr = model[name]
+        assert arr.shape == model.get_shape(name), name
+        model[name] = arr
+        np.testing.assert_array_equal(model[name], arr, err_msg=name)
+
+    with pytest.raises(ValueError):
+        model["t_grid"] = np.zeros((1, 2, 3))
+    with pytest.raises(AttributeError):
+        model["not_a_var"]
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    """save_checkpoint/load_checkpoint restores the trajectory bitwise."""
+    model = Speedy(start_date=datetime(1982, 1, 1),
+                   end_date=datetime(1982, 1, 3))
+    model.set_bc()
+    model._advance(18)
+    ckpt = str(tmp_path / "state.npz")
+    model.save_checkpoint(ckpt)
+    model._advance(18)
+    ref_t = model["t_grid"].copy()
+
+    model2 = Speedy(start_date=datetime(1982, 1, 1),
+                    end_date=datetime(1982, 1, 3))
+    model2.set_bc()
+    model2.load_checkpoint(ckpt)
+    assert model2.get_current_step() == 18
+    model2._advance(18)
+    np.testing.assert_array_equal(model2["t_grid"], ref_t)
+
+
+def test_apply_grid_filter():
+    model = Speedy(start_date=datetime(1982, 1, 1),
+                   end_date=datetime(1982, 1, 2))
+    model.set_bc()
+    model.spectral2grid()
+    before = model["t_grid"].copy()
+    model.apply_grid_filter()
+    after = model["t_grid"]
+    # The reference's transforms are non-orthogonal (node/weight quirk, see
+    # ops/geometry.py), so even an already-truncated field changes by up to
+    # ~2% near the poles — but not more, and the bulk of the field is intact.
+    scale = np.abs(before).max()
+    diff = np.abs(after - before)
+    assert diff.max() / scale < 0.05
+    assert np.sqrt((diff**2).mean()) / scale < 0.005
