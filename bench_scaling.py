@@ -9,6 +9,10 @@ uses virtual devices; run with:
       python bench_scaling.py
 
 Prints one JSON line with the weak-scaling efficiency.
+
+NB: virtual CPU devices share the same physical cores, so CPU-host
+"efficiency" only validates the mechanics (sharding compiles and runs);
+the number is meaningful on real multi-chip/multi-host topologies.
 """
 
 import dataclasses

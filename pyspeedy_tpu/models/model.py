@@ -19,8 +19,9 @@ import numpy as np
 
 from .. import constants as pc
 from ..coupling.forcing import set_forcing
-from ..coupling.land import couple_land_atm, land_model_init
-from ..coupling.sea import couple_sea_atm, sea_model_init
+from ..coupling.coupler import couple_sea_land, initialize_coupler
+from ..coupling.land import land_model_init
+from ..coupling.sea import sea_model_init
 from ..ops import spectral as S
 from ..ops.geometry import Geometry, build_geometry
 from ..params import ModelParams
@@ -181,9 +182,8 @@ def _make_device_init(consts: Consts, geom_np: Geometry):
         bad0 = check_diagnostics(consts, st, 0)
 
         # Coupler day-0 exchange (coupler.f90:12-32)
-        st = couple_land_atm(consts, st, True, cs["imont1"], cs["tmonth"])
-        st = couple_sea_atm(consts, st, True, cs["imont1"], cs["tmonth"],
-                            cs["month_idx"])
+        st = initialize_coupler(consts, st, cs["imont1"], cs["tmonth"],
+                                cs["month_idx"])
 
         # Forcing, imode=0 (forcing.f90:43-48 + daily part)
         st["ablco2_ref"] = st["air_absortivity_co2"]
@@ -337,10 +337,8 @@ def make_single_step(consts: Consts):
         state["error_flag"] = state["error_flag"] | bad
 
         # Coupler exchange at the advanced date (speedy.f90:69-72)
-        state = couple_land_atm(consts, state, False, ctx_i["imont1"],
-                                ctx_i["tmonth"])
-        state = couple_sea_atm(consts, state, False, ctx_i["imont1"],
-                               ctx_i["tmonth"], ctx_i["month_idx"])
+        state = couple_sea_land(consts, state, ctx_i["imont1"],
+                                ctx_i["tmonth"], ctx_i["month_idx"])
         return state
 
     return single_step
