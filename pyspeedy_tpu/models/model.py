@@ -148,6 +148,40 @@ def _physics_fn(consts):
     return get_physical_tendencies if consts.physics_on else None
 
 
+# Fields the per-step update writes. Everything else is loop-invariant during
+# a run: boundary conditions, masks, climatologies, coordinates. Keeping them
+# out of the scan carry (and out of the per-member ensemble batch) removes
+# most of the per-step HBM traffic. tests/test_model_configs.py guards this
+# set by checking the step leaves non-dynamic fields bitwise unchanged.
+DYNAMIC_FIELDS = frozenset({
+    # prognostics + diagnostics (timestep)
+    "vor", "div", "t", "ps", "tr", "phi",
+    # physics diagnostics
+    "precnv", "precls", "cbmf", "tsr", "ssrd", "ssr", "slrd", "slr", "olr",
+    "slru", "ustr", "vstr", "shf", "evap", "hfluxn", "tt_rsw", "rad_tau2",
+    "rad_flux", "rad_st4a", "rad_strat_corr", "qcloud_equiv",
+    # daily forcing
+    "flux_solar_in", "flux_ozone_lower", "flux_ozone_upper",
+    "zenit_correction", "stratospheric_correction", "snowc", "alb_land",
+    "alb_sea", "alb_surface", "tcorh", "qcorh", "air_absortivity_co2",
+    # coupled land/sea state
+    "stlcl_obs", "snowdcl_obs", "soilwcl_obs", "land_temp", "snow_depth",
+    "soil_avail_water", "stl_lm", "sstcl_ob", "sicecl_ob", "ticecl_ob",
+    "sstan_ob", "sstan_am", "sst_am", "sice_am", "tice_am", "sst_om",
+    "sice_om", "tice_om", "ssti_om",
+    # runtime flags / stochastic physics
+    "error_flag", "compute_shortwave",
+    "sppt_spec", "sppt_key", "sppt_first",
+})
+
+
+def split_state(state: dict):
+    """(dynamic, static) partition of the state dict."""
+    dyn = {k: v for k, v in state.items() if k in DYNAMIC_FIELDS}
+    static = {k: v for k, v in state.items() if k not in DYNAMIC_FIELDS}
+    return dyn, static
+
+
 _DEVICE_INIT_CACHE: dict = {}
 
 
@@ -345,15 +379,21 @@ def make_single_step(consts: Consts):
 
 
 def make_run_steps(consts: Consts):
-    """Build the jitted n-step integrator (shapes specialize on n)."""
+    """Build the jitted n-step integrator (shapes specialize on n).
+
+    Only the DYNAMIC_FIELDS travel through the scan carry; the invariant
+    fields ride as loop constants."""
     single_step = make_single_step(consts)
 
     @jax.jit
     def run_steps(state, ctx):
-        def body(st, ctx_i):
-            return single_step(st, ctx_i), None
+        dyn, static = split_state(state)
 
-        state, _ = jax.lax.scan(body, state, ctx)
-        return state
+        def body(d, ctx_i):
+            out = single_step({**static, **d}, ctx_i)
+            return {k: out[k] for k in d}, None
+
+        dyn, _ = jax.lax.scan(body, dyn, ctx)
+        return {**static, **dyn}
 
     return run_steps

@@ -55,23 +55,43 @@ def get_grid_point_tendencies(consts, state, j2: int, physics_fn=None, ctx=None)
     t = state["t"][j2]
     tr = state["tr"][:, j2]  # (ntr, kx, mx, nx)
     ps = state["ps"][j2]
+    ntr = tr.shape[0]
 
     # --- prognostics to grid space (tendencies.f90:109-130) ---
-    vorg = S.spec2grid(sp, vor, 1)
-    divg = S.spec2grid(sp, div, 1)
-    tg = S.spec2grid(sp, t, 1)
-    trg = S.spec2grid(sp, tr, 1)  # (ntr, kx, il, ix)
+    # All inverse transforms of the step are fused into ONE batched call: the
+    # Legendre einsum and zonal inverse DFT see a (6*kx+ntr*kx+2)-field batch
+    # instead of ~8 separate small launches. The per-field math is identical
+    # (the cos-lat scaling of the reference's kcos=2 variant commutes with
+    # the transform and is applied after).
     ucos, vcos = S.vort2vel(sp, vor, div)
-    ug = S.spec2grid(sp, ucos, 2)
-    vg = S.spec2grid(sp, vcos, 2)
+    psdx, psdy = S.gradient(sp, ps)
+    spec_batch = jnp.concatenate([
+        vor, div, t, tr.reshape((-1,) + tr.shape[-2:]),
+        ucos, vcos, psdx[None], psdy[None],
+    ], axis=0)
+    grid_batch = S.spec2grid(sp, spec_batch, 1)
+
+    o = 0
+    def take(n):
+        nonlocal o
+        out = grid_batch[o:o + n]
+        o += n
+        return out
+
+    vorg = take(kx)
+    divg = take(kx)
+    tg = take(kx)
+    trg = take(ntr * kx).reshape((ntr, kx) + grid_batch.shape[-2:])
+    rcos = sp.cosgr[:, None]
+    ug = take(kx) * rcos
+    vg = take(kx) * rcos
+    px = take(1)[0] * rcos
+    py = take(1)[0] * rcos
     vorg = vorg + geom.coriol[None, :, None]
 
     umean, vmean, dmean = _vertical_means(dhs, (ug, vg, divg))
 
     # --- log-ps tendency (tendencies.f90:144-149) ---
-    psdx, psdy = S.gradient(sp, ps)
-    px = S.spec2grid(sp, psdx, 2)
-    py = S.spec2grid(sp, psdy, 2)
     psdt = S.grid2spec(sp, -umean * px - vmean * py)
     psdt = psdt.at[0, 0].set(0.0)
 
@@ -120,16 +140,35 @@ def get_grid_point_tendencies(consts, state, j2: int, physics_fn=None, ctx=None)
             consts, state, ctx, utend, vtend, ttend, trtend)
 
     # --- back to spectral (tendencies.f90:238-268) ---
-    vordt, divdt = S.grid_vel2vort(sp, utend, vtend, 2)
-    divdt = divdt - S.laplacian(sp, S.grid2spec(sp, 0.5 * (ug**2 + vg**2)))
-    _, tdt = S.grid_vel2vort(sp, -ug * tgg, -vg * tgg, 2)
-    tdt = tdt + S.grid2spec(sp, ttend)
+    # One batched direct transform for every field going back: the wind/flux
+    # pairs (scaled by 1/cos as in grid_vel2vort's kcos=2) plus the scalar
+    # tendency fields.
+    scaled = jnp.concatenate([
+        utend, vtend, -ug * tgg, -vg * tgg,
+        jnp.concatenate([jnp.concatenate([-ug * trg[i], -vg * trg[i]])
+                         for i in range(ntr)]),
+    ]) * rcos
+    plain = jnp.concatenate([
+        0.5 * (ug**2 + vg**2), ttend,
+        trtend.reshape((-1,) + trtend.shape[-2:]),
+    ])
+    spec_out = S.grid2spec(sp, jnp.concatenate([scaled, plain]))
 
-    trdt_list = []
-    for i in range(trg.shape[0]):
-        _, flux = S.grid_vel2vort(sp, -ug * trg[i], -vg * trg[i], 2)
-        trdt_list.append(flux + S.grid2spec(sp, trtend[i]))
-    trdt = jnp.stack(trdt_list)
+    o = 0
+    def take2(n):
+        nonlocal o
+        out = spec_out[o:o + n]
+        o += n
+        return out
+
+    vordt, divdt = S.vel2vort(sp, take2(kx), take2(kx))
+    _, tdt_flux = S.vel2vort(sp, take2(kx), take2(kx))
+    tr_fluxes = [S.vel2vort(sp, take2(kx), take2(kx))[1] for _ in range(ntr)]
+    ke_spec = take2(kx)
+    tdt = tdt_flux + take2(kx)
+    trdt = jnp.stack([tr_fluxes[i] + take2(kx) for i in range(ntr)])
+
+    divdt = divdt - S.laplacian(sp, ke_spec)
 
     return vordt, divdt, tdt, psdt, trdt, state
 

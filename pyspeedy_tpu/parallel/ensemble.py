@@ -20,27 +20,45 @@ __all__ = ["broadcast_state", "make_run_steps_batched", "shard_ensemble"]
 
 
 def broadcast_state(state: dict, n_members: int) -> dict:
-    """Replicate a single-member state into a member-batched state."""
+    """Member-batch a single-member state: only the DYNAMIC_FIELDS get a
+    leading member axis; loop-invariant fields (climatologies, masks,
+    orography...) stay shared across members — they dominate the state's
+    footprint and never change during a run."""
     def rep(name, x):
         if name == "sppt_key":
             return jax.random.split(x, n_members)
-        return jnp.broadcast_to(x[None], (n_members,) + x.shape)
+        if name in M.DYNAMIC_FIELDS:
+            return jnp.broadcast_to(x[None], (n_members,) + x.shape)
+        return x
 
     return {k: rep(k, v) for k, v in state.items()}
 
 
 def make_run_steps_batched(consts, mesh=None, shard_space: bool = True,
                            donate: bool = True):
-    """Jitted n-step integrator over a member-batched state. When a mesh is
-    given, the state is constrained to the ensemble/space sharding layout."""
+    """Jitted n-step integrator over a member-batched state (leading member
+    axis on DYNAMIC_FIELDS only). When a mesh is given, the state is
+    constrained to the ensemble/space sharding layout."""
     single = M.make_single_step(consts)
 
-    def body(state, ctx_i):
-        return jax.vmap(lambda st: single(st, ctx_i))(state), None
+    def split(state):
+        dyn = {k: v for k, v in state.items() if k in M.DYNAMIC_FIELDS}
+        static = {k: v for k, v in state.items()
+                  if k not in M.DYNAMIC_FIELDS}
+        return dyn, static
 
     def run(state, ctx):
-        state, _ = jax.lax.scan(body, state, ctx)
-        return state
+        dyn, static = split(state)
+
+        def body(d, ctx_i):
+            def one(dd):
+                out = single({**static, **dd}, ctx_i)
+                return {k: out[k] for k in dd}
+
+            return jax.vmap(one)(d), None
+
+        dyn, _ = jax.lax.scan(body, dyn, ctx)
+        return {**static, **dyn}
 
     if mesh is None:
         return jax.jit(run, donate_argnums=(0,) if donate else ())
@@ -48,7 +66,7 @@ def make_run_steps_batched(consts, mesh=None, shard_space: bool = True,
     def run_sharded(state, ctx):
         sh = ensemble_state_sharding(mesh, state, shard_space)
         state = jax.lax.with_sharding_constraint(state, sh)
-        state, _ = jax.lax.scan(body, state, ctx)
+        state = run(state, ctx)
         return jax.lax.with_sharding_constraint(state, sh)
 
     return jax.jit(run_sharded, donate_argnums=(0,) if donate else ())

@@ -40,40 +40,47 @@ def make_mesh(n_ensemble: int = None, n_space: int = 1, devices=None) -> Mesh:
     return Mesh(dev_array, axis_names=("ensemble", "space"))
 
 
-def _spec_for_array(name: str, arr, shard_space: bool, n_space: int) -> P:
-    """PartitionSpec for one batched state array (leading member axis)."""
+def _spec_for_array(name: str, arr, batched: bool, shard_space: bool,
+                    n_space: int) -> P:
+    """PartitionSpec for one state array; `batched` marks a leading member
+    axis (dynamic fields). Static fields are replicated over "ensemble"."""
     ndim = arr.ndim
-    if ndim <= 1:  # scalar per member
-        return P("ensemble")
+    lead = ("ensemble",) if batched else ()
+    body_ndim = ndim - len(lead)
+    if body_ndim <= 0:
+        return P(*lead) if lead else P()
 
     def with_axis(axis):
-        spec = [None] * ndim
-        spec[0] = "ensemble"
-        if shard_space and arr.shape[axis] % n_space == 0:
+        spec = [None] * body_ndim
+        if shard_space and arr.shape[len(lead) + axis] % n_space == 0:
             spec[axis] = "space"
-        return P(*spec)
+        return P(*lead, *spec)
 
     if np.iscomplexobj(arr):
         # spectral (..., mx, nx): shard total-wavenumber n (innermost, even
         # size) over "space"; the Legendre contraction then reduces over a
         # sharded axis and XLA inserts the transpose collective.
-        return with_axis(ndim - 1)
-    if ndim >= 3:
+        return with_axis(body_ndim - 1)
+    if body_ndim >= 2 and arr.shape[-1] >= 32 and arr.shape[-2] >= 32:
         # grid (..., il, ix): latitude-band sharding over "space"
-        return with_axis(ndim - 2)
-    return P("ensemble", *([None] * (ndim - 1)))
+        return with_axis(body_ndim - 2)
+    return P(*lead, *([None] * body_ndim))
 
 
 def ensemble_state_sharding(mesh: Mesh, state: dict, shard_space: bool = True):
-    """NamedSharding pytree for a member-batched state dict."""
+    """NamedSharding pytree for a member-batched state dict (DYNAMIC_FIELDS
+    carry a leading member axis; the rest are member-shared)."""
+    from ..models.model import DYNAMIC_FIELDS
+
     n_space = mesh.shape["space"]
     shardings = {}
     for name, arr in state.items():
         if name in ("sppt_key",):
             shardings[name] = NamedSharding(mesh, P("ensemble"))
             continue
+        batched = name in DYNAMIC_FIELDS
         shardings[name] = NamedSharding(
-            mesh, _spec_for_array(name, arr, shard_space, n_space))
+            mesh, _spec_for_array(name, arr, batched, shard_space, n_space))
     return shardings
 
 

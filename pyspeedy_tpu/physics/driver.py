@@ -40,13 +40,20 @@ def get_physical_tendencies(consts, state, ctx, utend, vtend, ttend, trtend):
     qtend = trtend[0]
 
     # --- prognostics to grid at time level 0 (physics.f90:89-101) ---
+    # One batched inverse transform for all physics input fields.
     ucos, vcos = S.vort2vel(sp, state["vor"][0], state["div"][0])
-    ug = S.spec2grid(sp, ucos, 2)
-    vg = S.spec2grid(sp, vcos, 2)
-    tg = S.spec2grid(sp, state["t"][0], 1)
-    qg = S.spec2grid(sp, state["tr"][0, 0], 1)
-    phig = S.spec2grid(sp, state["phi"], 1)
-    pslg = S.spec2grid(sp, state["ps"][0], 1)
+    spec_batch = jnp.concatenate([
+        ucos, vcos, state["t"][0], state["tr"][0, 0], state["phi"],
+        state["ps"][0][None],
+    ], axis=0)
+    grid_batch = S.spec2grid(sp, spec_batch, 1)
+    rcos = sp.cosgr[:, None]
+    ug = grid_batch[0:kx] * rcos
+    vg = grid_batch[kx:2 * kx] * rcos
+    tg = grid_batch[2 * kx:3 * kx]
+    qg = grid_batch[3 * kx:4 * kx]
+    phig = grid_batch[4 * kx:5 * kx]
+    pslg = grid_batch[5 * kx]
 
     # --- thermodynamics (physics.f90:107-116) ---
     psg = jnp.exp(pslg)
@@ -109,6 +116,8 @@ def get_physical_tendencies(consts, state, ctx, utend, vtend, ttend, trtend):
     slrd, tt_rlw, rad_flux, rad_st4a = lw.get_downward_longwave_rad_fluxes(
         geom, fband, rad_tau2, tg)
     state["slrd"] = slrd
+    state["rad_flux"] = rad_flux
+    state["rad_st4a"] = rad_st4a
 
     # --- surface fluxes (physics.f90:177-198) ---
     fl = sflx.get_surface_fluxes(

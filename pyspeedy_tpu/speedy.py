@@ -463,10 +463,13 @@ class SpeedyEns:
     def get_current_step(self):
         return self.members[0].get_current_step()
 
-    def run(self, callbacks=None):
-        """Step all members in lockstep (reference uses OpenMP threads;
-        here each member advances its own scan — the batched-vmap fast path
-        lives in parallel/ensemble.py)."""
+    def run(self, callbacks=None, batched=None):
+        """Step all members in lockstep (the reference uses OpenMP threads,
+        speedy_driver.f90:58-79).
+
+        batched=True (default when all members share one configuration)
+        advances every member with ONE vmapped jitted scan — the TPU-native
+        parallel_step. batched=False steps members sequentially."""
         if callbacks is None:
             callbacks = []
 
@@ -476,14 +479,21 @@ class SpeedyEns:
                      if getattr(cb, "interval", None)]
         chunk = math.gcd(*intervals) if intervals else max(total, 1)
 
+        if batched is None:
+            batched = all(m._consts is self.members[0]._consts
+                          for m in self.members)
+
         done = 0
         while done < total:
             n = min(chunk, total - done)
-            errors = {}
-            for m, member in enumerate(self):
-                member._advance(n)
-                if bool(member._state["error_flag"]):
-                    errors[m] = E_DIAGNOSTICS_OUTSIDE_RANGE
+            if batched:
+                self._advance_batched(n)
+            else:
+                for member in self:
+                    member._advance(n)
+            errors = {m: E_DIAGNOSTICS_OUTSIDE_RANGE
+                      for m, member in enumerate(self)
+                      if bool(member._state["error_flag"])}
             done += n
             self.current_date += _DT_STEP * n
             for member in self:
@@ -494,3 +504,41 @@ class SpeedyEns:
                 raise RuntimeError(msg)
             for callback in callbacks:
                 callback(self)
+
+    def _advance_batched(self, n_steps):
+        """One vmapped scan over all members (zero member communication)."""
+        import jax.numpy as _jnp
+
+        from .models.model import DYNAMIC_FIELDS
+        from .parallel.ensemble import make_run_steps_batched
+
+        lead = self.members[0]
+        if not hasattr(self, "_batched_run"):
+            self._batched_run = {}
+        key = id(lead._consts)
+        if key not in self._batched_run:
+            self._batched_run[key] = make_run_steps_batched(
+                lead._consts, donate=False)
+        run = self._batched_run[key]
+
+        state = dict(lead._state)
+        for name in list(state.keys()):
+            if name in DYNAMIC_FIELDS and name != "sppt_key":
+                state[name] = _jnp.stack(
+                    [m._state[name] for m in self.members])
+        ctx, cal = M.build_step_ctx(lead._cal, lead._current_step, n_steps)
+        out = run(state, ctx)
+        for m, member in enumerate(self.members):
+            st = dict(member._state)
+            for name in DYNAMIC_FIELDS:
+                if name in out and name != "sppt_key":
+                    st[name] = out[name][m]
+            member._state = st
+            member._current_step += n_steps
+            member._cal = dataclasses_replace_cal(cal)
+        # All members share the calendar advance
+
+
+def dataclasses_replace_cal(cal):
+    import dataclasses as _dc
+    return _dc.replace(cal)

@@ -80,3 +80,20 @@ def test_synthetic_month_stable():
     assert not bool(state["error_flag"])
     ke_proxy = np.abs(np.asarray(state["vor"])).max()
     assert np.isfinite(ke_proxy)
+
+
+def test_static_fields_invariant():
+    """Guard for models.model.DYNAMIC_FIELDS: a day of stepping (including a
+    forcing day-boundary) must leave every non-dynamic field bitwise
+    unchanged, otherwise the scan-carry/ensemble-batch split would drop
+    updates."""
+    consts, state, cal = make_demo_model(T30L8)
+    before = {k: np.asarray(v).copy() for k, v in state.items()}
+    run = M.make_run_steps(consts)
+    ctx, _ = M.build_step_ctx(cal, 2, 40)  # crosses step 36 (daily forcing)
+    out = run(state, ctx)
+    for k, v in out.items():
+        if k in M.DYNAMIC_FIELDS or k == "sppt_key":
+            continue
+        np.testing.assert_array_equal(np.asarray(v), before[k],
+                                      err_msg=f"static field {k} changed")

@@ -227,3 +227,29 @@ def test_apply_grid_filter():
     diff = np.abs(after - before)
     assert diff.max() / scale < 0.05
     assert np.sqrt((diff**2).mean()) / scale < 0.005
+
+
+def test_ens_batched_equals_sequential():
+    """SpeedyEns batched (vmapped) stepping must equal per-member stepping."""
+    sd, ed = datetime(1982, 1, 1), datetime(1982, 1, 2)
+    ens_a = SpeedyEns(2, start_date=sd, end_date=ed)
+    ens_b = SpeedyEns(2, start_date=sd, end_date=ed)
+    for m in ens_a:
+        m.set_bc()
+    for m in ens_b:
+        m.set_bc()
+    # perturb member 1 identically in both
+    for ens in (ens_a, ens_b):
+        m1 = ens.members[1]
+        t = m1["t_grid"]
+        m1["t_grid"] = t * (1.0 + 1e-5)
+        m1.grid2spectral()
+    ens_a.run(batched=True)
+    ens_b.run(batched=False)
+    for m in range(2):
+        np.testing.assert_allclose(
+            ens_a.members[m]["t_grid"], ens_b.members[m]["t_grid"],
+            rtol=0, atol=1e-11, err_msg=f"member {m}")
+    # sanity: members actually diverged from each other
+    assert np.abs(ens_a.members[0]["t_grid"]
+                  - ens_a.members[1]["t_grid"]).max() > 1e-6
