@@ -97,3 +97,37 @@ def test_static_fields_invariant():
             continue
         np.testing.assert_array_equal(np.asarray(v), before[k],
                                       err_msg=f"static field {k} changed")
+
+
+def test_rest_state_is_fixed_point_without_orography():
+    """With flat orography, physics off, and exact (orthogonal) transform
+    nodes, the reference rest state has no gradients: every dynamical
+    tendency vanishes and the state must stay numerically at rest — a sharp
+    whole-core correctness check.
+
+    (In reference-node mode the transform non-orthogonality leaks ~1e-5
+    zonal structure into ps, which then legitimately evolves; exact_nodes
+    removes that seed.)"""
+    import numpy as np
+    import jax.numpy as jnp
+    from pyspeedy_tpu.testing import synthetic_host_bc
+
+    params = dataclasses.replace(T30L8, exact_nodes=True)
+    consts, geom_np = M.build_consts(params, physics_on=False)
+    host_bc = synthetic_host_bc(params, geom_np)
+    host_bc["orog"] = np.zeros_like(host_bc["orog"])
+    host_bc["_geom_np"] = geom_np
+    state = M.allocate_state(params, n_months=1)
+    cal = ModelCalendar.from_datetime(datetime(1982, 1, 1))
+    state = M.initialize(consts, state, host_bc, cal)
+
+    t_ref = np.asarray(state["t"][0]).copy()
+    run = M.make_run_steps(consts)
+    ctx, _ = M.build_step_ctx(cal, 2, 72)
+    out = run(state, ctx)
+
+    # vorticity/divergence stay at rest; T/ps hold the reference profile
+    assert np.abs(np.asarray(out["vor"])).max() < 1e-12
+    assert np.abs(np.asarray(out["div"])).max() < 1e-12
+    drift = np.abs(np.asarray(out["t"][0]) - t_ref).max()
+    assert drift < 1e-8, f"temperature drifted by {drift}"
