@@ -11,7 +11,7 @@ XLA computation with no host round-trips.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -34,7 +34,7 @@ from ..utils.calendar import ModelCalendar
 from .diagnostics import check_diagnostics
 from .geopotential import build_geopot
 from .implicit import build_hordif, build_implicit
-from .prognostics import initialize_from_rest_state, spectral2grid
+from .prognostics import initialize_from_rest_state
 from .timestep import step
 
 __all__ = ["Consts", "build_consts", "allocate_state", "initialize",

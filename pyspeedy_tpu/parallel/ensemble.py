@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from ..models import model as M
-from .mesh import ensemble_state_sharding, make_mesh
+from .mesh import ensemble_state_sharding
 
 __all__ = ["broadcast_state", "make_run_steps_batched", "shard_ensemble"]
 

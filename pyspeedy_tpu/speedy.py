@@ -13,6 +13,7 @@ the reference's OpenMP threads.
 
 from __future__ import annotations
 
+import dataclasses
 import math
 from datetime import datetime, timedelta
 
@@ -184,6 +185,11 @@ class Speedy:
         self._consts = consts
         state = M.allocate_state(
             self.params, n_months=self._sst_anom_data.shape[0] - 2)
+        if self.params.sppt_on:
+            # Distinct, reproducible stochastic-physics stream per member
+            import jax
+            state["sppt_key"] = jax.random.fold_in(
+                jax.random.key(0), self.member_id or 0)
         # push raw soil fields for registry access
         state["soil_wc_l3"] = jnp.asarray(host_bc["soil_wc_l3"])
         cal = ModelCalendar.from_datetime(self.start_date,
@@ -523,7 +529,7 @@ class SpeedyEns:
 
         state = dict(lead._state)
         for name in list(state.keys()):
-            if name in DYNAMIC_FIELDS and name != "sppt_key":
+            if name in DYNAMIC_FIELDS:
                 state[name] = _jnp.stack(
                     [m._state[name] for m in self.members])
         ctx, cal = M.build_step_ctx(lead._cal, lead._current_step, n_steps)
@@ -531,14 +537,8 @@ class SpeedyEns:
         for m, member in enumerate(self.members):
             st = dict(member._state)
             for name in DYNAMIC_FIELDS:
-                if name in out and name != "sppt_key":
+                if name in out:
                     st[name] = out[name][m]
             member._state = st
             member._current_step += n_steps
-            member._cal = dataclasses_replace_cal(cal)
-        # All members share the calendar advance
-
-
-def dataclasses_replace_cal(cal):
-    import dataclasses as _dc
-    return _dc.replace(cal)
+            member._cal = dataclasses.replace(cal)

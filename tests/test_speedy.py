@@ -253,3 +253,21 @@ def test_ens_batched_equals_sequential():
     # sanity: members actually diverged from each other
     assert np.abs(ens_a.members[0]["t_grid"]
                   - ens_a.members[1]["t_grid"]).max() > 1e-6
+
+
+def test_sppt_ensemble_members_distinct():
+    """SPPT ensembles: members carry distinct keyed RNG streams, so
+    unperturbed members diverge through stochastic physics alone."""
+    import dataclasses
+    from pyspeedy_tpu.params import T30L8
+
+    params = dataclasses.replace(T30L8, sppt_on=True)
+    ens = SpeedyEns(2, start_date=datetime(1982, 1, 1),
+                    end_date=datetime(1982, 1, 2), params=params)
+    for m in ens:
+        m.set_bc()
+    ens.run()
+    for m in ens:
+        m.spectral2grid()
+    d = np.abs(ens.members[0]["t_grid"] - ens.members[1]["t_grid"]).max()
+    assert d > 1e-8, "SPPT members did not diverge"
