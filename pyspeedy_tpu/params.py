@@ -85,3 +85,13 @@ class ModelParams:
 
 
 T30L8 = ModelParams()
+
+
+# Additional resolution presets. The reference is compile-time fixed at
+# T30L8 (with sigma tables for 5/7/8 levels); here resolution is a runtime
+# configuration: higher truncations use the same transform machinery with
+# larger operator tables.
+T30L5 = ModelParams(kx=5)
+T30L7 = ModelParams(kx=7)
+T47L8 = ModelParams(trunc=47, ix=144, iy=36)
+T63L8 = ModelParams(trunc=63, ix=192, iy=48)

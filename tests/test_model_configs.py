@@ -131,3 +131,15 @@ def test_rest_state_is_fixed_point_without_orography():
     assert np.abs(np.asarray(out["div"])).max() < 1e-12
     drift = np.abs(np.asarray(out["t"][0]) - t_ref).max()
     assert drift < 1e-8, f"temperature drifted by {drift}"
+
+
+@pytest.mark.parametrize("preset", ["T30L5", "T30L7", "T47L8"])
+def test_other_resolutions_run(preset):
+    """Beyond the reference's fixed T30L8: other vertical/horizontal
+    resolutions run stably from synthetic BCs (full physics)."""
+    import pyspeedy_tpu.params as P
+
+    params = getattr(P, preset)
+    consts, state = run_days(params, 2)
+    assert not bool(state["error_flag"])
+    assert np.isfinite(np.asarray(state["t"])).all()
