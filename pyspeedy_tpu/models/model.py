@@ -61,6 +61,12 @@ class Consts:
     increase_co2: bool = False
     sea_coupling_flag: int = 0
     physics_on: bool = True
+    # Concatenate all per-step transforms into single mega-batched calls.
+    # A large win for single-member runs (fewer launches, bigger matmuls);
+    # measured HARMFUL on the vmapped ensemble path on TPU (the concats
+    # materialize large (members, ~90, il, ix) intermediates), so the
+    # batched runner turns it off.
+    fuse_transforms: bool = True
 
     def with_implicit(self, im) -> "Consts":
         return dataclasses.replace(self, implicit=im)

@@ -26,6 +26,27 @@ def _vertical_means(dhs, fields):
     return [jnp.einsum("k,kji->ji", dhs, f) for f in fields]
 
 
+def _multi_spec2grid(sp, fields, fused):
+    """Inverse-transform a list of (k_i, mx, nx) spectral stacks. fused=True
+    runs them as one mega-batched call (fewer launches, bigger matmuls);
+    fused=False keeps per-field calls (better for vmapped ensembles)."""
+    if fused:
+        sizes = [f.shape[0] for f in fields]
+        out = S.spec2grid(sp, jnp.concatenate(fields, axis=0), 1)
+        import numpy as _np
+        return jnp.split(out, list(_np.cumsum(sizes)[:-1]), axis=0)
+    return [S.spec2grid(sp, f, 1) for f in fields]
+
+
+def _multi_grid2spec(sp, fields, fused):
+    if fused:
+        sizes = [f.shape[0] for f in fields]
+        out = S.grid2spec(sp, jnp.concatenate(fields, axis=0))
+        import numpy as _np
+        return jnp.split(out, list(_np.cumsum(sizes)[:-1]), axis=0)
+    return [S.grid2spec(sp, f) for f in fields]
+
+
 def _half_level_flux(sigdt, df):
     """temp[k] = sigdt[k] * df[k] on interior half levels, zero at the
     boundaries: returns a (kx+1, il, ix) array."""
@@ -58,35 +79,23 @@ def get_grid_point_tendencies(consts, state, j2: int, physics_fn=None, ctx=None)
     ntr = tr.shape[0]
 
     # --- prognostics to grid space (tendencies.f90:109-130) ---
-    # All inverse transforms of the step are fused into ONE batched call: the
-    # Legendre einsum and zonal inverse DFT see a (6*kx+ntr*kx+2)-field batch
-    # instead of ~8 separate small launches. The per-field math is identical
-    # (the cos-lat scaling of the reference's kcos=2 variant commutes with
-    # the transform and is applied after).
+    # The per-field math is identical in both fusion modes (the cos-lat
+    # scaling of the reference's kcos=2 variant commutes with the linear
+    # transform and is applied after).
     ucos, vcos = S.vort2vel(sp, vor, div)
     psdx, psdy = S.gradient(sp, ps)
-    spec_batch = jnp.concatenate([
-        vor, div, t, tr.reshape((-1,) + tr.shape[-2:]),
-        ucos, vcos, psdx[None], psdy[None],
-    ], axis=0)
-    grid_batch = S.spec2grid(sp, spec_batch, 1)
+    (vorg, divg, tg, trg_flat, ug, vg, pxy) = _multi_spec2grid(
+        sp,
+        [vor, div, t, tr.reshape((-1,) + tr.shape[-2:]),
+         ucos, vcos, jnp.stack([psdx, psdy])],
+        consts.fuse_transforms)
 
-    o = 0
-    def take(n):
-        nonlocal o
-        out = grid_batch[o:o + n]
-        o += n
-        return out
-
-    vorg = take(kx)
-    divg = take(kx)
-    tg = take(kx)
-    trg = take(ntr * kx).reshape((ntr, kx) + grid_batch.shape[-2:])
+    trg = trg_flat.reshape((ntr, kx) + vorg.shape[-2:])
     rcos = sp.cosgr[:, None]
-    ug = take(kx) * rcos
-    vg = take(kx) * rcos
-    px = take(1)[0] * rcos
-    py = take(1)[0] * rcos
+    ug = ug * rcos
+    vg = vg * rcos
+    px = pxy[0] * rcos
+    py = pxy[1] * rcos
     vorg = vorg + geom.coriol[None, :, None]
 
     umean, vmean, dmean = _vertical_means(dhs, (ug, vg, divg))
@@ -140,33 +149,24 @@ def get_grid_point_tendencies(consts, state, j2: int, physics_fn=None, ctx=None)
             consts, state, ctx, utend, vtend, ttend, trtend)
 
     # --- back to spectral (tendencies.f90:238-268) ---
-    # One batched direct transform for every field going back: the wind/flux
-    # pairs (scaled by 1/cos as in grid_vel2vort's kcos=2) plus the scalar
-    # tendency fields.
-    scaled = jnp.concatenate([
-        utend, vtend, -ug * tgg, -vg * tgg,
-        jnp.concatenate([jnp.concatenate([-ug * trg[i], -vg * trg[i]])
-                         for i in range(ntr)]),
-    ]) * rcos
-    plain = jnp.concatenate([
-        0.5 * (ug**2 + vg**2), ttend,
-        trtend.reshape((-1,) + trtend.shape[-2:]),
-    ])
-    spec_out = S.grid2spec(sp, jnp.concatenate([scaled, plain]))
+    # Direct transforms of every outgoing field: the wind/flux pairs (scaled
+    # by 1/cos as in grid_vel2vort's kcos=2) plus the scalar tendencies.
+    inputs = [utend * rcos, vtend * rcos, -ug * tgg * rcos, -vg * tgg * rcos]
+    for i in range(ntr):
+        inputs += [-ug * trg[i] * rcos, -vg * trg[i] * rcos]
+    inputs += [0.5 * (ug**2 + vg**2), ttend]
+    inputs += [trtend[i] for i in range(ntr)]
+    specs = _multi_grid2spec(sp, inputs, consts.fuse_transforms)
 
-    o = 0
-    def take2(n):
-        nonlocal o
-        out = spec_out[o:o + n]
-        o += n
-        return out
-
-    vordt, divdt = S.vel2vort(sp, take2(kx), take2(kx))
-    _, tdt_flux = S.vel2vort(sp, take2(kx), take2(kx))
-    tr_fluxes = [S.vel2vort(sp, take2(kx), take2(kx))[1] for _ in range(ntr)]
-    ke_spec = take2(kx)
-    tdt = tdt_flux + take2(kx)
-    trdt = jnp.stack([tr_fluxes[i] + take2(kx) for i in range(ntr)])
+    vordt, divdt = S.vel2vort(sp, specs[0], specs[1])
+    _, tdt_flux = S.vel2vort(sp, specs[2], specs[3])
+    tr_fluxes = [S.vel2vort(sp, specs[4 + 2 * i], specs[5 + 2 * i])[1]
+                 for i in range(ntr)]
+    base = 4 + 2 * ntr
+    ke_spec = specs[base]
+    tdt = tdt_flux + specs[base + 1]
+    trdt = jnp.stack([tr_fluxes[i] + specs[base + 2 + i]
+                      for i in range(ntr)])
 
     divdt = divdt - S.laplacian(sp, ke_spec)
 

@@ -39,6 +39,11 @@ def make_run_steps_batched(consts, mesh=None, shard_space: bool = True,
     """Jitted n-step integrator over a member-batched state (leading member
     axis on DYNAMIC_FIELDS only). When a mesh is given, the state is
     constrained to the ensemble/space sharding layout."""
+    import dataclasses
+
+    # Per-field transforms batch well already under vmap; the fused
+    # mega-concat variant regresses the batched path on TPU (see Consts).
+    consts = dataclasses.replace(consts, fuse_transforms=False)
     single = M.make_single_step(consts)
 
     def split(state):

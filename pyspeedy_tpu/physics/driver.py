@@ -40,20 +40,18 @@ def get_physical_tendencies(consts, state, ctx, utend, vtend, ttend, trtend):
     qtend = trtend[0]
 
     # --- prognostics to grid at time level 0 (physics.f90:89-101) ---
-    # One batched inverse transform for all physics input fields.
+    from ..models.tendencies import _multi_spec2grid
+
     ucos, vcos = S.vort2vel(sp, state["vor"][0], state["div"][0])
-    spec_batch = jnp.concatenate([
-        ucos, vcos, state["t"][0], state["tr"][0, 0], state["phi"],
-        state["ps"][0][None],
-    ], axis=0)
-    grid_batch = S.spec2grid(sp, spec_batch, 1)
+    ug, vg, tg, qg, phig, pslg1 = _multi_spec2grid(
+        sp,
+        [ucos, vcos, state["t"][0], state["tr"][0, 0], state["phi"],
+         state["ps"][0][None]],
+        consts.fuse_transforms)
     rcos = sp.cosgr[:, None]
-    ug = grid_batch[0:kx] * rcos
-    vg = grid_batch[kx:2 * kx] * rcos
-    tg = grid_batch[2 * kx:3 * kx]
-    qg = grid_batch[3 * kx:4 * kx]
-    phig = grid_batch[4 * kx:5 * kx]
-    pslg = grid_batch[5 * kx]
+    ug = ug * rcos
+    vg = vg * rcos
+    pslg = pslg1[0]
 
     # --- thermodynamics (physics.f90:107-116) ---
     psg = jnp.exp(pslg)
