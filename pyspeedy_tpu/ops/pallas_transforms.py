@@ -36,9 +36,11 @@ def full_sphere_operators(sp):
     CPinv rows: south j -> even-odd; north j -> flipped even+odd.
     CPdir rows: the direct fold with Gaussian weights baked in.
     """
-    cpe = np.asarray(sp.cpol_even, np.float64)
-    cpo = np.asarray(sp.cpol_odd, np.float64)
-    wt = np.asarray(sp.wt, np.float64)[:, None, None]
+    # NB: transfer first, cast on host (dtype-converting device->host
+    # transfers are unimplemented on some TPU backends).
+    cpe = np.asarray(sp.cpol_even).astype(np.float64)
+    cpo = np.asarray(sp.cpol_odd).astype(np.float64)
+    wt = np.asarray(sp.wt).astype(np.float64)[:, None, None]
     south_inv = cpe - cpo
     north_inv = (cpe + cpo)[::-1]
     cpinv = np.concatenate([south_inv, north_inv], axis=0)
