@@ -1,16 +1,19 @@
 """Pallas TPU kernels: fused spectral <-> grid transforms.
 
-Each direction runs as ONE kernel per block of fields: the intermediate
-Fourier coefficients stay in VMEM instead of round-tripping through HBM
-between the Legendre contraction and the zonal DFT matmul (XLA will not fuse
-across two dots).
+Each direction runs as one kernel: the intermediate Fourier coefficients
+live in registers/VMEM instead of round-tripping through HBM between the
+Legendre contraction and the zonal DFT (XLA will not fuse across two dots).
+
+Structure: the zonal wavenumber m is a grid dimension. Per (field-block, m)
+step the kernel does one small (fields x nx) @ (nx x il) matmul for the
+Legendre synthesis/analysis of that m, and accumulates that wavenumber's
+contribution to the grid block (inverse) or writes that m's coefficients
+(direct). This sidesteps Mosaic's batched-matmul restrictions (batch dims
+must be leading) while keeping everything in one kernel.
 
 The hemispheric parity fold is precomputed into full-sphere operators
-(host-side), which both removes the in-kernel reversal (`rev` is not lowered
-by Pallas TPU) and replaces the two parity contractions with one:
-
-  inverse:  F[J] = sum_n CPinv[J, m, n] spec[m, n]   (J = 0..il-1)
-  direct:   spec[m, n] = sum_J CPdir[J, m, n] F[J]   (weights folded in)
+(ops/spectral.py: cpol_inv_full / cpol_dir_full), which also removes the
+in-kernel latitude reversal (`rev` is not lowered by Pallas TPU).
 
 Numerically equivalent to ops.spectral with the matmul-DFT path; tests
 cross-check in interpreter mode so the CPU suite covers the kernels.
@@ -31,57 +34,44 @@ __all__ = ["spec2grid_pallas", "grid2spec_pallas", "full_sphere_operators"]
 
 
 def full_sphere_operators(sp):
-    """(CPinv, CPdir) full-sphere Legendre operators (il, mx, nx) f32.
-
-    CPinv rows: south j -> even-odd; north j -> flipped even+odd.
-    CPdir rows: the direct fold with Gaussian weights baked in.
-    """
-    # NB: transfer first, cast on host (dtype-converting device->host
-    # transfers are unimplemented on some TPU backends).
-    cpe = np.asarray(sp.cpol_even).astype(np.float64)
-    cpo = np.asarray(sp.cpol_odd).astype(np.float64)
-    wt = np.asarray(sp.wt).astype(np.float64)[:, None, None]
-    south_inv = cpe - cpo
-    north_inv = (cpe + cpo)[::-1]
-    cpinv = np.concatenate([south_inv, north_inv], axis=0)
-
-    south_dir = (cpe - cpo) * wt
-    north_dir = ((cpe + cpo) * wt)[::-1]
-    cpdir = np.concatenate([south_dir, north_dir], axis=0)
-    return (jnp.asarray(cpinv, jnp.float32), jnp.asarray(cpdir, jnp.float32))
+    """(CPinv, CPdir) full-sphere Legendre operators (il, mx, nx) f32,
+    precomputed in build_spectral (device arrays; no host round-trip)."""
+    return (jnp.asarray(sp.cpol_inv_full, jnp.float32),
+            jnp.asarray(sp.cpol_dir_full, jnp.float32))
 
 
 def _kernel_s2g(sre_ref, sim_ref, cpinv_ref, wre_ref, wim_ref, out_ref):
-    sre = sre_ref[:]          # (BB, mx, nx)
-    sim = sim_ref[:]
-    cpinv = cpinv_ref[:]      # (il, mx, nx)
+    m = pl.program_id(1)
+    sre = sre_ref[:, 0, :]          # (BB, nx) this wavenumber's coefficients
+    sim = sim_ref[:, 0, :]
+    cp = cpinv_ref[:, 0, :]         # (il, nx)
 
-    def leg(s):
-        # (il, mx, nx) x (BB, mx, nx): contract n, batch m -> (mx, il, BB)
-        return jax.lax.dot_general(
-            cpinv, s,
-            dimension_numbers=(((2,), (2,)), ((1,), (1,))),
-            preferred_element_type=jnp.float32,
-        )
+    # Legendre synthesis for this m: (BB, nx) x (nx, il) -> (BB, il)
+    f_re = jax.lax.dot_general(sre, cp,
+                               dimension_numbers=(((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    f_im = jax.lax.dot_general(sim, cp,
+                               dimension_numbers=(((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    # FFTPACK packing: the zonal-mean coefficient's imaginary part is dropped
+    f_im = jnp.where(m == 0, 0.0, f_im)
 
-    f_re = jnp.transpose(leg(sre), (2, 1, 0))   # (BB, il, mx)
-    f_im = jnp.transpose(leg(sim), (2, 1, 0))
+    # This wavenumber's zonal contribution: (BB, il, 1) * (1, 1, ix)
+    contrib = (f_re[:, :, None] * wre_ref[0, :][None, None, :]
+               + f_im[:, :, None] * wim_ref[0, :][None, None, :])
 
-    # Drop the imaginary part of the zonal-mean coefficient (FFTPACK packing)
-    mcol = jax.lax.broadcasted_iota(jnp.int32, f_im.shape, 2)
-    f_im = jnp.where(mcol == 0, 0.0, f_im)
+    @pl.when(m == 0)
+    def _():
+        out_ref[:] = contrib
 
-    bb, il, mx = f_re.shape
-    ix = wre_ref.shape[1]
-    g = (jnp.dot(f_re.reshape(bb * il, mx), wre_ref[:],
-                 preferred_element_type=jnp.float32)
-         + jnp.dot(f_im.reshape(bb * il, mx), wim_ref[:],
-                   preferred_element_type=jnp.float32))
-    out_ref[:] = g.reshape(bb, il, ix)
+    @pl.when(m > 0)
+    def _():
+        out_ref[:] = out_ref[:] + contrib
 
 
 @functools.partial(jax.jit, static_argnames=("block_b", "interpret"))
-def _spec2grid_pallas(sre, sim, cpinv, wre, wim, block_b=32, interpret=False):
+def _spec2grid_pallas(sre, sim, cpinv, wre, wim, block_b=256,
+                      interpret=False):
     b, mx, nx = sre.shape
     il, ix = cpinv.shape[0], wre.shape[1]
 
@@ -93,20 +83,20 @@ def _spec2grid_pallas(sre, sim, cpinv, wre, wim, block_b=32, interpret=False):
 
     out = pl.pallas_call(
         _kernel_s2g,
-        grid=(nb,),
+        grid=(nb, mx),
         in_specs=[
-            pl.BlockSpec((block_b, mx, nx), lambda i: (i, 0, 0),
+            pl.BlockSpec((block_b, 1, nx), lambda i, m: (i, m, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_b, mx, nx), lambda i: (i, 0, 0),
+            pl.BlockSpec((block_b, 1, nx), lambda i, m: (i, m, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((il, mx, nx), lambda i: (0, 0, 0),
+            pl.BlockSpec((il, 1, nx), lambda i, m: (0, m, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((mx, ix), lambda i: (0, 0),
+            pl.BlockSpec((1, ix), lambda i, m: (m, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((mx, ix), lambda i: (0, 0),
+            pl.BlockSpec((1, ix), lambda i, m: (m, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((block_b, il, ix), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((block_b, il, ix), lambda i, m: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b + pad, il, ix), jnp.float32),
         interpret=interpret,
@@ -114,7 +104,7 @@ def _spec2grid_pallas(sre, sim, cpinv, wre, wim, block_b=32, interpret=False):
     return out[:b]
 
 
-def spec2grid_pallas(sp, spec, block_b: int = 32, interpret: bool = False):
+def spec2grid_pallas(sp, spec, block_b: int = 256, interpret: bool = False):
     """Fused spectral -> grid (kcos=1) via the Pallas kernel.
 
     spec: (..., mx, nx) complex; returns (..., il, ix) in sp's real dtype.
@@ -136,28 +126,21 @@ def spec2grid_pallas(sp, spec, block_b: int = 32, interpret: bool = False):
 def _kernel_g2s(g_ref, wfre_ref, wfim_ref, cpdir_ref, ore_ref, oim_ref):
     g = g_ref[:]                       # (BB, il, ix)
     bb, il, ix = g.shape
-    mx = wfre_ref.shape[1]
+    cp = cpdir_ref[:, 0, :]            # (il, nx)
 
-    f_re = jnp.dot(g.reshape(bb * il, ix), wfre_ref[:],
-                   preferred_element_type=jnp.float32).reshape(bb, il, mx)
-    f_im = jnp.dot(g.reshape(bb * il, ix), wfim_ref[:],
-                   preferred_element_type=jnp.float32).reshape(bb, il, mx)
+    # Zonal DFT for this m: (BB*il, ix) @ (ix, 1) -> (BB, il)
+    f_re = jnp.dot(g.reshape(bb * il, ix), wfre_ref[:, 0:1],
+                   preferred_element_type=jnp.float32).reshape(bb, il)
+    f_im = jnp.dot(g.reshape(bb * il, ix), wfim_ref[:, 0:1],
+                   preferred_element_type=jnp.float32).reshape(bb, il)
 
-    def spec_part(f):
-        # (il, mx, nx) x (BB, il, mx): contract J, batch m -> (mx, nx, BB)
-        out = jax.lax.dot_general(
-            cpdir_ref[:], f,
-            dimension_numbers=(((0,), (1,)), ((1,), (2,))),
-            preferred_element_type=jnp.float32,
-        )
-        return jnp.transpose(out, (2, 0, 1))   # (BB, mx, nx)
-
-    ore_ref[:] = spec_part(f_re)
-    oim_ref[:] = spec_part(f_im)
+    # Legendre analysis: (BB, il) x (il, nx) -> (BB, nx)
+    ore_ref[:, 0, :] = jnp.dot(f_re, cp, preferred_element_type=jnp.float32)
+    oim_ref[:, 0, :] = jnp.dot(f_im, cp, preferred_element_type=jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("block_b", "interpret"))
-def _grid2spec_pallas(g, wfre, wfim, cpdir, block_b=32, interpret=False):
+def _grid2spec_pallas(g, wfre, wfim, cpdir, block_b=256, interpret=False):
     b, il, ix = g.shape
     _, mx, nx = cpdir.shape
 
@@ -168,21 +151,21 @@ def _grid2spec_pallas(g, wfre, wfim, cpdir, block_b=32, interpret=False):
 
     ore, oim = pl.pallas_call(
         _kernel_g2s,
-        grid=(nb,),
+        grid=(nb, mx),
         in_specs=[
-            pl.BlockSpec((block_b, il, ix), lambda i: (i, 0, 0),
+            pl.BlockSpec((block_b, il, ix), lambda i, m: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((ix, mx), lambda i: (0, 0),
+            pl.BlockSpec((ix, 1), lambda i, m: (0, m),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((ix, mx), lambda i: (0, 0),
+            pl.BlockSpec((ix, 1), lambda i, m: (0, m),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((il, mx, nx), lambda i: (0, 0, 0),
+            pl.BlockSpec((il, 1, nx), lambda i, m: (0, m, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((block_b, mx, nx), lambda i: (i, 0, 0),
+            pl.BlockSpec((block_b, 1, nx), lambda i, m: (i, m, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_b, mx, nx), lambda i: (i, 0, 0),
+            pl.BlockSpec((block_b, 1, nx), lambda i, m: (i, m, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
@@ -194,7 +177,7 @@ def _grid2spec_pallas(g, wfre, wfim, cpdir, block_b=32, interpret=False):
     return ore[:b], oim[:b]
 
 
-def grid2spec_pallas(sp, grid, block_b: int = 32, interpret: bool = False):
+def grid2spec_pallas(sp, grid, block_b: int = 256, interpret: bool = False):
     """Fused grid -> spectral via the Pallas kernel.
 
     grid: (..., il, ix) real; returns (..., mx, nx) complex.

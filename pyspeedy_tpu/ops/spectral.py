@@ -139,6 +139,11 @@ class SpectralTransform(NamedTuple):
     dft_fwd_im: jnp.ndarray  # (ix, mx) -sin(2 pi m i / ix) / ix
     dft_inv_re: jnp.ndarray  # (mx, ix) (2-delta_m0) cos(2 pi m i / ix)
     dft_inv_im: jnp.ndarray  # (mx, ix) -(2-delta_m0) sin(2 pi m i / ix)
+    # Full-sphere Legendre operators with the hemispheric parity fold (and,
+    # for the direct one, the Gaussian weights) baked in - used by the fused
+    # Pallas transform kernels (ops/pallas_transforms.py):
+    cpol_inv_full: jnp.ndarray  # (il, mx, nx)
+    cpol_dir_full: jnp.ndarray  # (il, mx, nx)
     use_matmul_fft: bool = False  # static flag, not a pytree leaf in practice
 
     @property
@@ -240,6 +245,15 @@ def build_spectral(params: ModelParams, geom: Geometry,
     dft_inv_re = (dup[:, None] * np.cos(theta).T)
     dft_inv_im = (-dup[:, None] * np.sin(theta).T)
 
+    # Full-sphere fold operators (south rows: even-odd; north rows: flipped
+    # even+odd; direct variant with quadrature weights folded in)
+    cpol_inv_full = np.concatenate(
+        [cpol_even - cpol_odd, (cpol_even + cpol_odd)[::-1]], axis=0)
+    wt3 = wt[:, None, None]
+    cpol_dir_full = np.concatenate(
+        [(cpol_even - cpol_odd) * wt3,
+         ((cpol_even + cpol_odd) * wt3)[::-1]], axis=0)
+
     dt = np.float64 if params.precision == "f64" else np.float32
     a = lambda x: jnp.asarray(np.asarray(x, dtype=dt))
     return SpectralTransform(
@@ -251,6 +265,7 @@ def build_spectral(params: ModelParams, geom: Geometry,
         vddym=a(vddym), vddyp=a(vddyp),
         dft_fwd_re=a(dft_fwd_re), dft_fwd_im=a(dft_fwd_im),
         dft_inv_re=a(dft_inv_re), dft_inv_im=a(dft_inv_im),
+        cpol_inv_full=a(cpol_inv_full), cpol_dir_full=a(cpol_dir_full),
         use_matmul_fft=use_matmul_fft,
     )
 

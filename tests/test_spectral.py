@@ -203,7 +203,9 @@ def test_pallas_spec2grid_matches_reference(exact):
     spec = random_trunc_spec(sp, seed=11, batch=(5,))
     ref = np.asarray(S.spec2grid(sp, spec, 1))
     out = np.asarray(spec2grid_pallas(sp, spec, block_b=4, interpret=True))
-    np.testing.assert_allclose(out, ref, rtol=0, atol=2e-5)
+    # f32 kernel vs f64 reference: tolerance is f32 rounding over ~31
+    # accumulated wavenumber contributions
+    np.testing.assert_allclose(out, ref, rtol=0, atol=1e-4)
 
 
 def test_pallas_grid2spec_matches_reference(exact):
