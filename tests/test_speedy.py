@@ -271,3 +271,19 @@ def test_sppt_ensemble_members_distinct():
         m.spectral2grid()
     d = np.abs(ens.members[0]["t_grid"] - ens.members[1]["t_grid"]).max()
     assert d > 1e-8, "SPPT members did not diverge"
+
+
+def test_all_registry_variables_accessible():
+    """Every registry variable must be readable with the reference's
+    Fortran-order shape via dict access (the full bridge surface of
+    speedy_driver.f90's get_*/get_*_shape)."""
+    from pyspeedy_tpu.registry import MODEL_STATE_VARS
+
+    model = Speedy(start_date=datetime(1982, 1, 1),
+                   end_date=datetime(1982, 1, 2))
+    model.set_bc()
+    for spec in MODEL_STATE_VARS:
+        arr = model[spec.name]
+        if spec.dims:
+            assert np.asarray(arr).shape == model.get_shape(spec.name), \
+                spec.name
