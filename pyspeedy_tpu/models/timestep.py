@@ -9,7 +9,7 @@ from .. import constants as pc
 from ..ops import spectral as S
 from .tendencies import get_tendencies
 
-__all__ = ["step", "first_step_stage"]
+__all__ = ["step"]
 
 
 def _hordif(field, fdt, dmp, dmp1):
@@ -83,14 +83,4 @@ def step(consts, state, j1: int, j2: int, dt: float, physics_fn=None, ctx=None):
     state["tr"] = jnp.stack([
         _step_field(params, sp, j1, dt, eps, state["tr"][itr], trdt[itr])
         for itr in range(params.ntr)])
-    return state
-
-
-def first_step_stage(consts_half, consts_full, state, physics_fn=None, ctx=None):
-    """The dt/2 then dt bootstrap (time_stepping.f90:13-27). The caller
-    supplies consts with implicit tables for dt/2 and dt; the 2*dt tables are
-    used by subsequent regular steps."""
-    delt = consts_half.params.delt
-    state = step(consts_half, state, 1, 1, 0.5 * delt, physics_fn, ctx)
-    state = step(consts_full, state, 1, 2, delt, physics_fn, ctx)
     return state
