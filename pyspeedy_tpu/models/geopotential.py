@@ -51,6 +51,7 @@ def get_geopotential(gp: GeopotTables, t: jnp.ndarray, phis: jnp.ndarray) -> jnp
     Returns phi: (..., kx, mx, nx).
     """
     kx = t.shape[-3]
+    mx = t.shape[-2]
     levels = [None] * kx
     levels[kx - 1] = phis + gp.xgeop1[kx - 1] * t[..., kx - 1, :, :]
     for k in range(kx - 2, -1, -1):
@@ -58,7 +59,13 @@ def get_geopotential(gp: GeopotTables, t: jnp.ndarray, phis: jnp.ndarray) -> jnp
                      + gp.xgeop1[k] * t[..., k, :, :])
     phi = jnp.stack(levels, axis=-3)
 
-    # Zonal-mean (m=0) lapse-rate correction in the free troposphere.
-    corr = gp.corf[1:kx - 1, None] * (t[..., 2:kx, 0, :] - t[..., 0:kx - 2, 0, :])
-    phi = phi.at[..., 1:kx - 1, 0, :].add(corr)
-    return phi
+    # Zonal-mean (m=0) lapse-rate correction in the free troposphere,
+    # applied as a fused masked add (corf is zero at k=0 and k=kx-1, and the
+    # m>0 columns are masked out).
+    tpad = jnp.concatenate([jnp.zeros_like(t[..., :1, :, :]), t,
+                            jnp.zeros_like(t[..., :1, :, :])], axis=-3)
+    dtk = tpad[..., 2:, :, :] - tpad[..., :-2, :, :]
+    m0mask = np.zeros((1, mx, 1))
+    m0mask[0, 0, 0] = 1.0
+    corr = gp.corf[:, None, None] * m0mask * dtk
+    return phi + corr.astype(phi.dtype)

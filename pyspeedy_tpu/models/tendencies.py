@@ -12,6 +12,7 @@ tr (2, ntr, kx, mx, nx).
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from .. import constants as pc
 from ..ops import spectral as S
@@ -92,6 +93,11 @@ def get_grid_point_tendencies(consts, state, j2: int, physics_fn=None, ctx=None)
 
     trg = trg_flat.reshape((ntr, kx) + vorg.shape[-2:])
     rcos = sp.cosgr[:, None]
+    # Mask that zeroes the (0,0) spectral mean — a fused multiply instead of
+    # a scattered .at[0,0].set(0) (dynamic-update-slice is a hot launch cost)
+    not00 = np.ones((vor.shape[-2], vor.shape[-1]))
+    not00[0, 0] = 0.0
+    not00 = jnp.asarray(not00, dtype=vorg.dtype)
     ug = ug * rcos
     vg = vg * rcos
     px = pxy[0] * rcos
@@ -101,8 +107,7 @@ def get_grid_point_tendencies(consts, state, j2: int, physics_fn=None, ctx=None)
     umean, vmean, dmean = _vertical_means(dhs, (ug, vg, divg))
 
     # --- log-ps tendency (tendencies.f90:144-149) ---
-    psdt = S.grid2spec(sp, -umean * px - vmean * py)
-    psdt = psdt.at[0, 0].set(0.0)
+    psdt = S.grid2spec(sp, -umean * px - vmean * py) * not00
 
     # --- sigma-dot vertical velocity (tendencies.f90:152-166) ---
     # NB the reference's recursion runs through k=kx, so the bottom half
@@ -134,9 +139,12 @@ def get_grid_point_tendencies(consts, state, j2: int, physics_fn=None, ctx=None)
     # --- tracer tendencies (tendencies.f90:212-224) ---
     # The reference zeroes the vertical tracer flux at the top two interior
     # half levels (temp(:,:,2:3) = 0, tendencies.f90:218).
+    trmask = np.ones((kx + 1, 1, 1))
+    trmask[1:3] = 0.0
+    trmask = jnp.asarray(trmask, dtype=vorg.dtype)
+
     def tracer_tend(q):
-        tmp = _half_level_flux(sigdt, q[1:] - q[:-1])
-        tmp = tmp.at[1:3].set(0.0)
+        tmp = _half_level_flux(sigdt, q[1:] - q[:-1]) * trmask
         return q * divg - (tmp[1:] + tmp[:-1]) * dhsr
 
     trtend = jnp.stack([tracer_tend(trg[i]) for i in range(trg.shape[0])])
@@ -186,8 +194,9 @@ def get_spectral_tendencies(consts, state, divdt, tdt, psdt, j2: int):
     tref = im.tref
 
     dmeanc = jnp.einsum("k,kmn->mn", dhs.astype(div.real.dtype), div)
-    psdt = psdt - dmeanc
-    psdt = psdt.at[0, 0].set(0.0)
+    not00 = np.ones((psdt.shape[-2], psdt.shape[-1]))
+    not00[0, 0] = 0.0
+    psdt = (psdt - dmeanc) * jnp.asarray(not00, dtype=dmeanc.real.dtype)
 
     # sigma-dot on half levels (kx+1, mx, nx); note the reference accumulates
     # only through k=kx-1 so the bottom boundary stays zero.

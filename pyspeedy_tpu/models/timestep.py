@@ -4,6 +4,7 @@ diffusion (reference: speedy.f90/time_stepping.f90)."""
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from .. import constants as pc
 from ..ops import spectral as S
@@ -57,20 +58,24 @@ def step(consts, state, j1: int, j2: int, dt: float, physics_fn=None, ctx=None):
     tdt = _hordif(tcor, tdt, hd.dmp, im.dmp1)
 
     # Stratospheric drag on the zonal-mean top-level flow
-    # (time_stepping.f90:92-100).
+    # (time_stepping.f90:92-100), applied as a fused masked subtract.
     sdrag = 1.0 / (pc.TDRS * 3600.0)
-    vordt = vordt.at[0, 0, :].add(-sdrag * vor0[0, 0, :])
-    divdt = divdt.at[0, 0, :].add(-sdrag * div0[0, 0, :])
+    kx, mx = vordt.shape[-3], vordt.shape[-2]
+    m00 = np.zeros((kx, mx, 1))
+    m00[0, 0, 0] = 1.0
+    m00 = jnp.asarray(m00, dtype=vordt.real.dtype)
+    vordt = vordt - (sdrag * m00) * vor0
+    divdt = divdt - (sdrag * m00) * div0
 
     vordt = _hordif(vor0, vordt, hd.dmps, im.dmp1s)
     divdt = _hordif(div0, divdt, hd.dmps, im.dmp1s)
     tdt = _hordif(tcor, tdt, hd.dmps, im.dmp1s)
 
     qcor = state["tr"][0, 0] + state["qcorh"] * hd.qcorv[:, None, None]
-    trdt = trdt.at[0].set(_hordif(qcor, trdt[0], hd.dmpd, im.dmp1d))
-    for itr in range(1, params.ntr):
-        trdt = trdt.at[itr].set(
-            _hordif(state["tr"][itr, 0], trdt[itr], hd.dmp, im.dmp1))
+    trdt = jnp.stack(
+        [_hordif(qcor, trdt[0], hd.dmpd, im.dmp1d)]
+        + [_hordif(state["tr"][itr, 0], trdt[itr], hd.dmp, im.dmp1)
+           for itr in range(1, params.ntr)])
 
     # --- leapfrog with Robert-Williams filter (time_stepping.f90:124-144) ---
     eps = 0.0 if j1 == 1 else params.rob

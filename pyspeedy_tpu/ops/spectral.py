@@ -296,7 +296,10 @@ def _fourier_inverse(sp: SpectralTransform, F: jnp.ndarray, kcos: int) -> jnp.nd
     reference packing.
     """
     ix = 2 * sp.il  # ix == 2*il for the supported grids (96 = 2*48)
-    F = F.at[..., 0].set(F[..., 0].real.astype(F.dtype))
+    # Drop the m=0 imaginary part (fused, instead of a scattered set)
+    mask0 = np.zeros((1, sp.mx))
+    mask0[0, 0] = 1.0
+    F = F - 1j * (F.imag * jnp.asarray(mask0, dtype=F.real.dtype))
     if sp.use_matmul_fft:
         g = (jnp.einsum("...m,mi->...i", F.real, sp.dft_inv_re)
              + jnp.einsum("...m,mi->...i", F.imag, sp.dft_inv_im))
@@ -377,8 +380,12 @@ def _shift_up(x: jnp.ndarray) -> jnp.ndarray:
 
 def _no_zonal_last_row(sp: SpectralTransform, z: jnp.ndarray) -> jnp.ndarray:
     """The reference omits the zonal-derivative term on the last n row
-    (spectral.f90:174-177, 201-205)."""
-    return z.at[..., -1].set(0.0)
+    (spectral.f90:174-177, 201-205). Applied as a fused mask multiply (a
+    scattered .at[...,-1].set would cost a dynamic-update-slice launch)."""
+    nx = z.shape[-1]
+    mask = np.ones((1, nx))
+    mask[0, -1] = 0.0
+    return z * jnp.asarray(mask, dtype=z.real.dtype)
 
 
 def gradient(sp: SpectralTransform, psi: jnp.ndarray):

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .. import constants as pc
 from ..ops import spectral as S
@@ -69,10 +70,15 @@ def get_physical_tendencies(consts, state, ctx, utend, vtend, ttend, trtend):
     # --- deep convection (physics.f90:123-132) ---
     iptop, cbmf, precnv, dfse, dfqa = conv.get_convection_tendencies(
         geom, psg, se, qg, qsat)
+    # Flux -> tendency scaling for levels 2..kx (physics.f90:127-130);
+    # level 1 carries no convective flux, so a masked multiply is exact.
+    lvl_mask = np.ones((kx, 1, 1))
+    lvl_mask[0] = 0.0
+    lvl_mask = jnp.asarray(lvl_mask, dtype=dfse.dtype)
     scale_t = rps * geom.grdscp[:, None, None]
     scale_q = rps * geom.grdsig[:, None, None]
-    tt_cnv = dfse.at[1:].multiply(scale_t[1:]).at[0].set(0.0)
-    qt_cnv = dfqa.at[1:].multiply(scale_q[1:]).at[0].set(0.0)
+    tt_cnv = dfse * (scale_t * lvl_mask)
+    qt_cnv = dfqa * (scale_q * lvl_mask)
     icnv = kx - iptop
 
     # --- large-scale condensation (physics.f90:135-139) ---
@@ -149,13 +155,17 @@ def get_physical_tendencies(consts, state, ctx, utend, vtend, ttend, trtend):
     ut_pbl, vt_pbl, tt_pbl, qt_pbl = vdif.get_vertical_diffusion_tend(
         geom, se, rh, qg, qsat, phig, icnv)
 
-    # surface-flux tendencies into the lowest layer (physics.f90:223-226)
+    # surface-flux tendencies into the lowest layer (physics.f90:223-226),
+    # fused one-hot adds instead of scattered updates
+    bot = np.zeros((kx, 1, 1))
+    bot[kx - 1] = 1.0
+    bot = jnp.asarray(bot, dtype=ut_pbl.dtype)
     gsig = rps * geom.grdsig[kx - 1]
     gscp = rps * geom.grdscp[kx - 1]
-    ut_pbl = ut_pbl.at[kx - 1].add(fl["ustr"][2] * gsig)
-    vt_pbl = vt_pbl.at[kx - 1].add(fl["vstr"][2] * gsig)
-    tt_pbl = tt_pbl.at[kx - 1].add(fl["shf"][2] * gscp)
-    qt_pbl = qt_pbl.at[kx - 1].add(fl["evap"][2] * gsig)
+    ut_pbl = ut_pbl + bot * (fl["ustr"][2] * gsig)
+    vt_pbl = vt_pbl + bot * (fl["vstr"][2] * gsig)
+    tt_pbl = tt_pbl + bot * (fl["shf"][2] * gscp)
+    qt_pbl = qt_pbl + bot * (fl["evap"][2] * gsig)
 
     utend = utend + ut_pbl
     vtend = vtend + vt_pbl
@@ -173,5 +183,5 @@ def get_physical_tendencies(consts, state, ctx, utend, vtend, ttend, trtend):
         ttend = f * (ttend - ttend_dyn) + ttend_dyn
         qtend = f * (qtend - qtend_dyn) + qtend_dyn
 
-    trtend = trtend.at[0].set(qtend)
+    trtend = jnp.concatenate([qtend[None], trtend[1:]])
     return utend, vtend, ttend, trtend, state
