@@ -1,8 +1,9 @@
 """Four-band longwave radiation (reference:
 speedy.f90/longwave_radiation.f90).
 
-The integer-temperature band-fraction lookup fband(nint(T), band) becomes a
-clipped gather — the one non-elementwise op in the scheme.
+The integer-temperature band-fraction lookup fband(nint(T), band) is
+evaluated in closed form (the table is a memoization of quadratics), keeping
+the whole scheme elementwise.
 """
 
 from __future__ import annotations
@@ -35,9 +36,25 @@ def radset() -> np.ndarray:
 
 
 def _fband_at(fband, ta):
-    """fband(nint(T), :) gather -> (..., 4) with T clipped to the table."""
-    idx = jnp.clip(jnp.floor(ta + 0.5).astype(jnp.int32) - 100, 0, 300)
-    return fband[idx]  # (..., 4)
+    """Band fractions at nint(T), clipped to the table range.
+
+    The (301,4) table is a memoization of closed-form quadratics
+    (longwave_radiation.f90:208-232) with constant extrapolation outside
+    T=200..320K — equivalent to evaluating the quadratics at
+    clip(nint(T), 200, 320). A table gather at grid size is a ~20 ms
+    kCustom op per call on TPU (it dominated the ensemble step profile);
+    the direct evaluation is a handful of elementwise FLOPs that XLA fuses
+    into the neighbouring emission arithmetic. Returns a 4-tuple of
+    per-band arrays (tuple, not a stacked (...,4) axis, to avoid
+    layout-transpose copies of the result)."""
+    del fband  # kept for signature parity with the table-lookup variant
+    eps1 = 1.0 - pc.EPSLW
+    t = jnp.clip(jnp.floor(ta + 0.5), 200.0, 320.0)
+    b1 = (0.148 - 3.0e-6 * (t - 247.0) ** 2) * eps1
+    b2 = (0.356 - 5.2e-6 * (t - 282.0) ** 2) * eps1
+    b3 = (0.314 + 1.0e-5 * (t - 315.0) ** 2) * eps1
+    b0 = eps1 - (b1 + b2 + b3)
+    return (b0, b1, b2, b3)
 
 
 def get_downward_longwave_rad_fluxes(geom, fband, rad_tau2, ta):
@@ -72,13 +89,13 @@ def get_downward_longwave_rad_fluxes(geom, fband, rad_tau2, ta):
         st4a_2[k0] = 4.0 * st3a * st4a_2[k0]
 
     dfabs = [jnp.zeros_like(ta[0]) for _ in range(kx)]
-    fb = [_fband_at(fband, ta[k0]) for k0 in range(kx)]  # (kx)(il,ix,4)
+    fb = [_fband_at(fband, ta[k0]) for k0 in range(kx)]  # (kx)(4)(il,ix)
 
     # 3.1 stratosphere, bands 1-2 at k=1
     flux = [None] * NBAND
     for jb in range(2):
         emis = 1.0 - rad_tau2[jb, 0]
-        brad = fb[0][..., jb] * (st4a_1[0] + emis * st4a_2[0])
+        brad = fb[0][jb] * (st4a_1[0] + emis * st4a_2[0])
         flux[jb] = emis * brad
         dfabs[0] = dfabs[0] - flux[jb]
     for jb in range(2, NBAND):
@@ -88,7 +105,7 @@ def get_downward_longwave_rad_fluxes(geom, fband, rad_tau2, ta):
     for jb in range(NBAND):
         for k0 in range(1, kx):
             emis = 1.0 - rad_tau2[jb, k0]
-            brad = fb[k0][..., jb] * (st4a_1[k0] + emis * st4a_2[k0])
+            brad = fb[k0][jb] * (st4a_1[k0] + emis * st4a_2[k0])
             dfabs[k0] = dfabs[k0] + flux[jb]
             flux[jb] = rad_tau2[jb, k0] * flux[jb] + emis * brad
             dfabs[k0] = dfabs[k0] - flux[jb]
@@ -118,7 +135,7 @@ def get_upward_longwave_rad_fluxes(geom, fband, rad_tau2, rad_st4a,
     fsfc = fsfcu - fsfcd
 
     fb_ts = _fband_at(fband, ts)
-    flux = [fb_ts[..., jb] * fsfcu + refsfc * rad_flux_down[jb]
+    flux = [fb_ts[jb] * fsfcu + refsfc * rad_flux_down[jb]
             for jb in range(NBAND)]
 
     dfabs = [dfabs_in[k0] for k0 in range(kx)]
@@ -129,7 +146,7 @@ def get_upward_longwave_rad_fluxes(geom, fband, rad_tau2, rad_st4a,
     for jb in range(NBAND):
         for k0 in range(kx - 1, 0, -1):
             emis = 1.0 - rad_tau2[jb, k0]
-            brad = fb[k0][..., jb] * (st4a_1[k0] - emis * st4a_2[k0])
+            brad = fb[k0][jb] * (st4a_1[k0] - emis * st4a_2[k0])
             dfabs[k0] = dfabs[k0] + flux[jb]
             flux[jb] = rad_tau2[jb, k0] * flux[jb] + emis * brad
             dfabs[k0] = dfabs[k0] - flux[jb]
@@ -137,7 +154,7 @@ def get_upward_longwave_rad_fluxes(geom, fband, rad_tau2, rad_st4a,
     # stratosphere, bands 1-2 at k=1
     for jb in range(2):
         emis = 1.0 - rad_tau2[jb, 0]
-        brad = fb[0][..., jb] * (st4a_1[0] - emis * st4a_2[0])
+        brad = fb[0][jb] * (st4a_1[0] - emis * st4a_2[0])
         dfabs[0] = dfabs[0] + flux[jb]
         flux[jb] = rad_tau2[jb, 0] * flux[jb] + emis * brad
         dfabs[0] = dfabs[0] - flux[jb]
