@@ -319,26 +319,22 @@ def _fourier_inverse(sp: SpectralTransform, F: jnp.ndarray, kcos: int) -> jnp.nd
 # ---------------------------------------------------------------------------
 
 def _legendre_direct(sp: SpectralTransform, F: jnp.ndarray) -> jnp.ndarray:
-    """Fourier (..., il, mx) -> spectral (..., mx, nx) via hemispheric
-    even/odd folding + weighted projection (legendre.f90:175-221)."""
-    iy = sp.iy
-    FS = F[..., :iy, :]
-    FN = jnp.flip(F[..., iy:, :], axis=-2)
-    wt = sp.wt[:, None]
-    even = (FN + FS) * wt
-    odd = (FN - FS) * wt
-    return (jnp.einsum("jmn,...jm->...mn", sp.cpol_even, even)
-            + jnp.einsum("jmn,...jm->...mn", sp.cpol_odd, odd))
+    """Fourier (..., il, mx) -> spectral (..., mx, nx) (legendre.f90:175-221).
+
+    The reference folds hemispheres into even/odd parity sums before the
+    weighted projection; here the parity fold and Gaussian weights are baked
+    into a full-sphere operator (cpol_dir_full) so the whole stage is ONE
+    batched einsum. FLOPs are identical to the parity-split pair of einsums
+    (the split operators are half zeros), but the slice/flip/concat DMA ops
+    of the explicit fold disappear — they dominated the TPU ensemble trace.
+    """
+    return jnp.einsum("jmn,...jm->...mn", sp.cpol_dir_full, F)
 
 
 def _legendre_inverse(sp: SpectralTransform, spec: jnp.ndarray) -> jnp.ndarray:
     """Spectral (..., mx, nx) -> Fourier (..., il, mx) synthesis
-    (legendre.f90:130-169)."""
-    even = jnp.einsum("jmn,...mn->...jm", sp.cpol_even, spec)
-    odd = jnp.einsum("jmn,...mn->...jm", sp.cpol_odd, spec)
-    south = even - odd
-    north = jnp.flip(even + odd, axis=-2)
-    return jnp.concatenate([south, north], axis=-2)
+    (legendre.f90:130-169), as one full-sphere einsum (see _legendre_direct)."""
+    return jnp.einsum("jmn,...mn->...jm", sp.cpol_inv_full, spec)
 
 
 # ---------------------------------------------------------------------------

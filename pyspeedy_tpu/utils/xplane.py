@@ -137,6 +137,14 @@ def device_op_totals(trace_dir: str, plane_filter: str = "/device:",
     line avoids double-counting module/step/source wrapper events."""
     paths = glob.glob(os.path.join(
         trace_dir, "**", "*.xplane.pb"), recursive=True)
+    # Each start_trace/stop_trace session writes its own timestamped
+    # subdirectory; aggregate only the NEWEST session, otherwise repeated
+    # profiles of the same dir silently sum (and skew every percentage).
+    sessions: dict = defaultdict(list)
+    for p in paths:
+        sessions[os.path.dirname(p)].append(p)
+    if sessions:
+        paths = sessions[max(sessions, key=os.path.getmtime)]
     totals: dict = defaultdict(float)
     for p in paths:
         for plane in parse_xspace(p):
