@@ -105,6 +105,10 @@ def make_run_steps_cached(consts: Consts):
 def build_consts(params: ModelParams, **flags) -> tuple[Consts, Geometry]:
     """Build all static tables. Returns (consts, numpy geometry)."""
     geom_np = build_geometry(params)
+    if params.fft_mode not in ("auto", "matmul", "fft"):
+        raise ValueError(
+            f"fft_mode must be 'auto', 'matmul' or 'fft', got "
+            f"{params.fft_mode!r}")
     use_matmul = (params.fft_mode == "matmul"
                   or (params.fft_mode == "auto"
                       and jax.default_backend() != "cpu"))

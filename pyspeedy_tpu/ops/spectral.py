@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -144,6 +145,14 @@ class SpectralTransform(NamedTuple):
     # Pallas transform kernels (ops/pallas_transforms.py):
     cpol_inv_full: jnp.ndarray  # (il, mx, nx)
     cpol_dir_full: jnp.ndarray  # (il, mx, nx)
+    # Real-pair DFT operators: c indexes (cos, sin) parts. The whole
+    # matmul-FFT transform runs in real arithmetic (complex einsums on TPU
+    # materialize re/im plane extractions as relayout copies); note
+    # dft_inv_ri[1, 0, :] == 0 (sin(0)), which is exactly the reference's
+    # "discard the m=0 imaginary part" rule (fourier.f90:72-76) fused into
+    # the operator.
+    dft_fwd_ri: jnp.ndarray  # (2, ix, mx)
+    dft_inv_ri: jnp.ndarray  # (2, mx, ix)
     use_matmul_fft: bool = False  # static flag, not a pytree leaf in practice
 
     @property
@@ -266,6 +275,8 @@ def build_spectral(params: ModelParams, geom: Geometry,
         dft_fwd_re=a(dft_fwd_re), dft_fwd_im=a(dft_fwd_im),
         dft_inv_re=a(dft_inv_re), dft_inv_im=a(dft_inv_im),
         cpol_inv_full=a(cpol_inv_full), cpol_dir_full=a(cpol_dir_full),
+        dft_fwd_ri=a(np.stack([dft_fwd_re, dft_fwd_im])),
+        dft_inv_ri=a(np.stack([dft_inv_re, dft_inv_im])),
         use_matmul_fft=use_matmul_fft,
     )
 
@@ -342,13 +353,35 @@ def _legendre_inverse(sp: SpectralTransform, spec: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 def grid2spec(sp: SpectralTransform, grid: jnp.ndarray) -> jnp.ndarray:
-    """Grid (..., il, ix) -> spectral (..., mx, nx) (spectral.f90:263-273)."""
-    return _legendre_direct(sp, _fourier_direct(sp, grid))
+    """Grid (..., il, ix) -> spectral (..., mx, nx) (spectral.f90:263-273).
+
+    On the matmul-FFT path the whole transform runs in real arithmetic:
+    one DFT einsum producing the stacked (cos, sin) Fourier pair and one
+    c-batched Legendre einsum, with the complex view assembled only at the
+    boundary. TPU lowers complex einsums to per-plane extraction copies of
+    the re/im components; the real pipeline never creates them.
+    """
+    if not sp.use_matmul_fft:
+        return _legendre_direct(sp, _fourier_direct(sp, grid))
+    F2 = jnp.einsum("...ji,cim->c...jm", grid, sp.dft_fwd_ri)
+    S2 = jnp.einsum("jmn,c...jm->c...mn", sp.cpol_dir_full, F2)
+    return jax.lax.complex(S2[0], S2[1]).astype(sp.cdtype)
 
 
 def spec2grid(sp: SpectralTransform, spec: jnp.ndarray, kcos: int = 1) -> jnp.ndarray:
-    """Spectral (..., mx, nx) -> grid (..., il, ix) (spectral.f90:251-261)."""
-    return _fourier_inverse(sp, _legendre_inverse(sp, spec), kcos)
+    """Spectral (..., mx, nx) -> grid (..., il, ix) (spectral.f90:251-261).
+
+    Matmul-FFT path: real-pair pipeline (see grid2spec); the reference's
+    "discard m=0 imaginary part" rule is inherent in dft_inv_ri[1, 0] == 0.
+    """
+    if not sp.use_matmul_fft:
+        return _fourier_inverse(sp, _legendre_inverse(sp, spec), kcos)
+    S2 = jnp.stack([spec.real, spec.imag])
+    F2 = jnp.einsum("jmn,c...mn->c...jm", sp.cpol_inv_full, S2)
+    g = jnp.einsum("c...jm,cmi->...ji", F2, sp.dft_inv_ri).astype(sp.rdtype)
+    if kcos != 1:
+        g = g * sp.cosgr[:, None]
+    return g
 
 
 def truncate(sp: SpectralTransform, spec: jnp.ndarray) -> jnp.ndarray:

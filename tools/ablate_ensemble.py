@@ -69,36 +69,13 @@ def main():
     sp = consts.sp
     kx, mx, nx = params.kx, params.mx, params.nx
     il, ix = params.il, params.ix
-    import numpy as np
-    rng = np.random.default_rng(0)
-    cdtype = np.complex128 if precision == "f64" else np.complex64
-    spec0 = jax.device_put(
-        (rng.standard_normal((n_members, 7 * kx, mx, nx))
-         + 1j * rng.standard_normal((n_members, 7 * kx, mx, nx))
-         ).astype(cdtype))
-
-    @jax.jit
-    def transforms(spec):
-        def body(sp_c, _):
-            g = S.spec2grid(sp, sp_c, 1)
-            g2 = jnp.concatenate([g, g[:, : 6 * kx] * 2.0], axis=1)
-            s2 = S.grid2spec(sp, g2)
-            return s2[:, : 7 * kx] * (1.0 / 13.0), None
-
-        out, _ = jax.lax.scan(body, spec, None, length=n_steps)
-        return out
-
-    w = timed(transforms, spec0)
-    results["transforms"] = w
-    print(f"transforms: {w*1e3/n_steps:.2f} ms/step", file=sys.stderr,
-          flush=True)
-
     dyn, static = M.split_state(bstate)
 
     @jax.jit
     def carry_only(d):
         def body(dd, _):
-            return {k: v + (1.0 if v.dtype != jnp.bool_ else 0)
+            return {k: (v + jnp.ones((), v.dtype)
+                        if jnp.issubdtype(v.dtype, jnp.inexact) else v)
                     for k, v in dd.items()}, None
 
         out, _ = jax.lax.scan(body, d, None, length=n_steps)
@@ -107,6 +84,31 @@ def main():
     w = timed(carry_only, dyn)
     results["carry"] = w
     print(f"carry: {w*1e3/n_steps:.2f} ms/step", file=sys.stderr, flush=True)
+
+    import numpy as np
+    rng = np.random.default_rng(0)
+    rdtype = np.float64 if precision == "f64" else np.float32
+    sre = jax.device_put(rng.standard_normal(
+        (n_members, 7 * kx, mx, nx)).astype(rdtype))
+    sim = jax.device_put(rng.standard_normal(
+        (n_members, 7 * kx, mx, nx)).astype(rdtype))
+
+    @jax.jit
+    def transforms(re, im):
+        def body(c, _):
+            re_c, im_c = c
+            g = S.spec2grid(sp, re_c + 1j * im_c, 1)
+            g2 = jnp.concatenate([g, g[:, : 6 * kx] * 2.0], axis=1)
+            s2 = S.grid2spec(sp, g2)[:, : 7 * kx] * (1.0 / 13.0)
+            return (s2.real, s2.imag), None
+
+        (re, im), _ = jax.lax.scan(body, (re, im), None, length=n_steps)
+        return re, im
+
+    w = timed(transforms, sre, sim)
+    results["transforms"] = w
+    print(f"transforms: {w*1e3/n_steps:.2f} ms/step", file=sys.stderr,
+          flush=True)
 
     print(json.dumps({"members": n_members, "steps": n_steps,
                       "ms_per_step": {k: v * 1e3 / n_steps
