@@ -1,9 +1,12 @@
 """Four-band longwave radiation (reference:
 speedy.f90/longwave_radiation.f90).
 
-The integer-temperature band-fraction lookup fband(nint(T), band) is
-evaluated in closed form (the table is a memoization of quadratics), keeping
-the whole scheme elementwise.
+TPU-first structure: the four spectral bands form a leading array axis
+(instead of the reference's unrolled band loops), so each level of the
+sequential up/down sweeps is a handful of fused elementwise ops on
+(4, il, ix) arrays. The integer-temperature band-fraction lookup
+fband(nint(T), band) is evaluated in closed form (the table is a
+memoization of quadratics), keeping the whole scheme elementwise.
 """
 
 from __future__ import annotations
@@ -44,10 +47,7 @@ def _fband_at(fband, ta):
     clip(nint(T), 200, 320). A table gather at grid size is a ~20 ms
     kCustom op per call on TPU (it dominated the ensemble step profile);
     the direct evaluation is a handful of elementwise FLOPs that XLA fuses
-    into the neighbouring emission arithmetic. Returns a 4-tuple of
-    per-band arrays (tuple, not a stacked (...,4) axis, to avoid
-    layout-transpose copies of the result)."""
-    del fband  # kept for signature parity with the table-lookup variant
+    into the neighbouring emission arithmetic."""
     eps1 = 1.0 - pc.EPSLW
     t = jnp.clip(jnp.floor(ta + 0.5), 200.0, 320.0)
     b1 = (0.148 - 3.0e-6 * (t - 247.0) ** 2) * eps1
@@ -57,11 +57,25 @@ def _fband_at(fband, ta):
     return (b0, b1, b2, b3)
 
 
+def _fband_all(ta):
+    """Band fractions for all four bands as one stacked (4, *ta.shape)
+    expression (same quadratics as _fband_at; band 0 is eps1 minus the
+    others, itself a quadratic)."""
+    return jnp.stack(_fband_at(None, ta))
+
+
+# Bands 2-3 carry no stratospheric (k=0) flux (longwave_radiation.f90
+# computes the k=1 layer only for jb=1,2).
+_STRAT_BAND_MASK = np.array([1.0, 1.0, 0.0, 0.0])[:, None, None]
+
+
 def get_downward_longwave_rad_fluxes(geom, fband, rad_tau2, ta):
     """Downward LW sweep (longwave_radiation.f90:16-121).
 
     Returns (fsfcd, dfabs, rad_flux, rad_st4a); rad_flux/rad_st4a feed the
-    upward sweep of the same step.
+    upward sweep of the same step. The band loop of the reference is a
+    vectorized leading axis: flux is (4, il, ix) and each level update is
+    one fused expression over it.
     """
     kx = ta.shape[0]
     nl1 = kx - 1
@@ -88,44 +102,40 @@ def get_downward_longwave_rad_fluxes(geom, fband, rad_tau2, ta):
         st4a_1[k0] = st3a * ta[k0]
         st4a_2[k0] = 4.0 * st3a * st4a_2[k0]
 
-    dfabs = [jnp.zeros_like(ta[0]) for _ in range(kx)]
-    fb = [_fband_at(fband, ta[k0]) for k0 in range(kx)]  # (kx)(4)(il,ix)
+    bmask = jnp.asarray(_STRAT_BAND_MASK, dtype=ta.dtype)
 
-    # 3.1 stratosphere, bands 1-2 at k=1
-    flux = [None] * NBAND
-    for jb in range(2):
-        emis = 1.0 - rad_tau2[jb, 0]
-        brad = fb[0][jb] * (st4a_1[0] + emis * st4a_2[0])
-        flux[jb] = emis * brad
-        dfabs[0] = dfabs[0] - flux[jb]
-    for jb in range(2, NBAND):
-        flux[jb] = jnp.zeros_like(ta[0])
+    # 3.1 stratosphere, bands 1-2 at k=1. Band fractions are evaluated
+    # per level inside the sweep so they fuse into the emission arithmetic
+    # instead of materializing a (4, kx, il, ix) array.
+    emis = (1.0 - rad_tau2[:, 0]) * bmask
+    flux = emis * (_fband_all(ta[0]) * (st4a_1[0] + emis * st4a_2[0]))
+    dfabs = [None] * kx
+    dfabs[0] = -jnp.sum(flux, axis=0)
 
     # 3.2 troposphere
-    for jb in range(NBAND):
-        for k0 in range(1, kx):
-            emis = 1.0 - rad_tau2[jb, k0]
-            brad = fb[k0][jb] * (st4a_1[k0] + emis * st4a_2[k0])
-            dfabs[k0] = dfabs[k0] + flux[jb]
-            flux[jb] = rad_tau2[jb, k0] * flux[jb] + emis * brad
-            dfabs[k0] = dfabs[k0] - flux[jb]
+    for k0 in range(1, kx):
+        emis = 1.0 - rad_tau2[:, k0]
+        brad = _fband_all(ta[k0]) * (st4a_1[k0] + emis * st4a_2[k0])
+        newflux = rad_tau2[:, k0] * flux + emis * brad
+        dfabs[k0] = jnp.sum(flux - newflux, axis=0)
+        flux = newflux
 
-    fsfcd = pc.EMISFC * sum(flux)
+    fsfcd = pc.EMISFC * jnp.sum(flux, axis=0)
 
     # 3.4 "black" band correction incl. surface reflection
     corlw = pc.EPSLW * pc.EMISFC * st4a_1[kx - 1]
     dfabs[kx - 1] = dfabs[kx - 1] - corlw
     fsfcd = fsfcd + corlw
 
-    rad_flux = jnp.stack(flux)
     rad_st4a = jnp.stack([jnp.stack(st4a_1), jnp.stack(st4a_2)])
-    return fsfcd, jnp.stack(dfabs), rad_flux, rad_st4a
+    return fsfcd, jnp.stack(dfabs), flux, rad_st4a
 
 
 def get_upward_longwave_rad_fluxes(geom, fband, rad_tau2, rad_st4a,
                                    rad_strat_corr, ta, ts, fsfcd, fsfcu,
                                    dfabs_in, rad_flux_down):
-    """Full upward sweep (longwave_radiation.f90:124-205)."""
+    """Full upward sweep (longwave_radiation.f90:124-205), band-vectorized
+    like the downward sweep."""
     kx = ta.shape[0]
     dhs = geom.dhs
     st4a_1 = rad_st4a[0]
@@ -134,30 +144,27 @@ def get_upward_longwave_rad_fluxes(geom, fband, rad_tau2, rad_st4a,
     refsfc = 1.0 - pc.EMISFC
     fsfc = fsfcu - fsfcd
 
-    fb_ts = _fband_at(fband, ts)
-    flux = [fb_ts[jb] * fsfcu + refsfc * rad_flux_down[jb]
-            for jb in range(NBAND)]
+    flux = _fband_all(ts) * fsfcu + refsfc * rad_flux_down  # (4, il, ix)
 
     dfabs = [dfabs_in[k0] for k0 in range(kx)]
     # "black" band correction
     dfabs[kx - 1] = dfabs[kx - 1] + pc.EPSLW * fsfcu
 
-    fb = [_fband_at(fband, ta[k0]) for k0 in range(kx)]
-    for jb in range(NBAND):
-        for k0 in range(kx - 1, 0, -1):
-            emis = 1.0 - rad_tau2[jb, k0]
-            brad = fb[k0][jb] * (st4a_1[k0] - emis * st4a_2[k0])
-            dfabs[k0] = dfabs[k0] + flux[jb]
-            flux[jb] = rad_tau2[jb, k0] * flux[jb] + emis * brad
-            dfabs[k0] = dfabs[k0] - flux[jb]
+    for k0 in range(kx - 1, 0, -1):
+        emis = 1.0 - rad_tau2[:, k0]
+        brad = _fband_all(ta[k0]) * (st4a_1[k0] - emis * st4a_2[k0])
+        newflux = rad_tau2[:, k0] * flux + emis * brad
+        dfabs[k0] = dfabs[k0] + jnp.sum(flux - newflux, axis=0)
+        flux = newflux
 
     # stratosphere, bands 1-2 at k=1
-    for jb in range(2):
-        emis = 1.0 - rad_tau2[jb, 0]
-        brad = fb[0][jb] * (st4a_1[0] - emis * st4a_2[0])
-        dfabs[0] = dfabs[0] + flux[jb]
-        flux[jb] = rad_tau2[jb, 0] * flux[jb] + emis * brad
-        dfabs[0] = dfabs[0] - flux[jb]
+    bmask = jnp.asarray(_STRAT_BAND_MASK, dtype=ta.dtype)
+    emis = (1.0 - rad_tau2[:, 0]) * bmask
+    brad = _fband_all(ta[0]) * (st4a_1[0] - emis * st4a_2[0])
+    newflux = bmask * (rad_tau2[:, 0] * flux + emis * brad) \
+        + (1.0 - bmask) * flux
+    dfabs[0] = dfabs[0] + jnp.sum(flux - newflux, axis=0)
+    flux = newflux
 
     # "black" band + polar-night cooling corrections
     corlw1 = dhs[0] * rad_strat_corr[1] * st4a_1[0] + rad_strat_corr[0]
@@ -165,5 +172,5 @@ def get_upward_longwave_rad_fluxes(geom, fband, rad_tau2, rad_st4a,
     dfabs[0] = dfabs[0] - corlw1
     dfabs[1] = dfabs[1] - corlw2
 
-    ftop = corlw1 + corlw2 + sum(flux)
+    ftop = corlw1 + corlw2 + jnp.sum(flux, axis=0)
     return fsfc, ftop, jnp.stack(dfabs)
