@@ -29,7 +29,7 @@ from ..physics.driver import get_physical_tendencies
 from ..physics.longwave_radiation import radset
 from ..physics.surface_fluxes import set_orog_land_sfc_drag
 from ..physics import sppt as sppt_mod
-from ..registry import MODEL_STATE_VARS, internal_shape
+from ..registry import MODEL_STATE_VARS, internal_shape, is_tlev
 from ..utils.calendar import ModelCalendar
 from .diagnostics import check_diagnostics
 from .geopotential import build_geopot
@@ -137,14 +137,14 @@ def allocate_state(params: ModelParams, n_months: int = 1) -> dict:
         if spec.name == "current_step":
             continue  # host-side counter
         shape = internal_shape(params, spec, n_months=n_months)
-        if spec.kind == "c":
-            state[spec.name] = np.zeros(shape, dtype=cdt)
-        elif spec.kind == "r":
-            state[spec.name] = np.zeros(shape, dtype=rdt)
-        elif spec.kind == "i":
-            state[spec.name] = np.zeros(shape, dtype=np.int32)
-        elif spec.kind == "l":
-            state[spec.name] = np.zeros(shape, dtype=bool)
+        dtype = {"c": cdt, "r": rdt, "i": np.int32, "l": bool}[spec.kind]
+        if is_tlev(spec):
+            # Leapfrog time levels live as a tuple of per-level arrays (see
+            # registry.internal_perm): t_levs is the leading internal axis.
+            state[spec.name] = tuple(
+                np.zeros(shape[1:], dtype=dtype) for _ in range(shape[0]))
+        else:
+            state[spec.name] = np.zeros(shape, dtype=dtype)
     # Defaults (model_state.f90 "Initialize default values")
     state["air_absortivity_co2"] = np.asarray(6.0, dtype=rdt)
     state["ablco2_ref"] = np.asarray(6.0, dtype=rdt)

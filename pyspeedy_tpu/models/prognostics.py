@@ -22,7 +22,7 @@ def initialize_from_rest_state(consts, state):
     sp = consts.sp
     geom = consts.geom
     kx = params.kx
-    cdtype = state["vor"].dtype
+    cdtype = state["vor"][0].dtype
 
     gam1 = pc.GAMMA / (1000.0 * pc.GRAV)
 
@@ -31,9 +31,8 @@ def initialize_from_rest_state(consts, state):
     state["phis"] = phis
 
     zeros3 = jnp.zeros((kx, params.mx, params.nx), dtype=cdtype)
-    vor = jnp.stack([zeros3, zeros3])
-    state["vor"] = vor
-    state["div"] = vor
+    state["vor"] = (zeros3, zeros3)
+    state["div"] = (zeros3, zeros3)
 
     tref, ttop = 288.0, 216.0
     gam2 = gam1 / tref
@@ -48,7 +47,7 @@ def initialize_from_rest_state(consts, state):
     for k in range(2, kx):
         t_levels.append(surfs * geom.fsg[k] ** rgam)
     t1 = jnp.stack(t_levels)
-    state["t"] = jnp.stack([t1, jnp.zeros_like(t1)])
+    state["t"] = (t1, jnp.zeros_like(t1))
 
     # log(normalized ps) consistent with the temperature profile, p=1013 hPa
     # at z=0 (prognostics.f90:83-94).
@@ -56,7 +55,7 @@ def initialize_from_rest_state(consts, state):
     surfg = rlog0 + rgamr * jnp.log(1.0 - gam2 * state["phis0"])
     ps1 = S.truncate(sp, S.grid2spec(sp, surfg)) if params.ix == 4 * params.iy \
         else S.grid2spec(sp, surfg)
-    state["ps"] = jnp.stack([ps1, jnp.zeros_like(ps1)])
+    state["ps"] = (ps1, jnp.zeros_like(ps1))
 
     # Tropospheric specific humidity in g/kg (prognostics.f90:96-115).
     esref = 17.0
@@ -70,9 +69,9 @@ def initialize_from_rest_state(consts, state):
     q_levels = [jnp.zeros_like(phis) for _ in range(2)]
     for k in range(2, kx):
         q_levels.append(surfsq * geom.fsg[k] ** qexp)
-    # tr layout: (ntr, t_levs, kx, mx, nx)
-    tr = jnp.zeros((params.ntr, 2, kx, params.mx, params.nx), dtype=cdtype)
-    state["tr"] = tr.at[0, 0].set(jnp.stack(q_levels))
+    # tr layout: tuple over t_levs of (ntr, kx, mx, nx)
+    tr0 = jnp.zeros((params.ntr, kx, params.mx, params.nx), dtype=cdtype)
+    state["tr"] = (tr0.at[0].set(jnp.stack(q_levels)), tr0)
 
     state["phi"] = jnp.zeros_like(t1)
     return state
@@ -87,7 +86,7 @@ def spectral2grid(consts, state):
     state["u_grid"] = S.spec2grid(sp, ucos, 2)
     state["v_grid"] = S.spec2grid(sp, vcos, 2)
     state["t_grid"] = S.spec2grid(sp, state["t"][0], 1)
-    state["q_grid"] = S.spec2grid(sp, state["tr"][0, 0], 1) * 1.0e-3  # kg/kg
+    state["q_grid"] = S.spec2grid(sp, state["tr"][0][0], 1) * 1.0e-3  # kg/kg
     state["phi_grid"] = S.spec2grid(sp, state["phi"], 1) / pc.GRAV    # m
     state["ps_grid"] = pc.P0 * jnp.exp(S.spec2grid(sp, state["ps"][0], 1))  # Pa
     return state
@@ -99,14 +98,14 @@ def grid2spectral(consts, state):
     sp = consts.sp
     state = dict(state)
     vor1, div1 = S.grid_vel2vort(sp, state["u_grid"], state["v_grid"], 2)
-    state["vor"] = state["vor"].at[0].set(vor1)
-    state["div"] = state["div"].at[0].set(div1)
-    state["t"] = state["t"].at[0].set(S.grid2spec(sp, state["t_grid"]))
-    state["tr"] = state["tr"].at[0, 0].set(
-        S.grid2spec(sp, state["q_grid"]) / 1.0e-3)
+    state["vor"] = (vor1, state["vor"][1])
+    state["div"] = (div1, state["div"][1])
+    state["t"] = (S.grid2spec(sp, state["t_grid"]), state["t"][1])
+    state["tr"] = (state["tr"][0].at[0].set(
+        S.grid2spec(sp, state["q_grid"]) / 1.0e-3), state["tr"][1])
     state["phi"] = S.grid2spec(sp, state["phi_grid"]) * pc.GRAV
-    state["ps"] = state["ps"].at[0].set(
-        S.grid2spec(sp, jnp.log(state["ps_grid"] / pc.P0)))
+    state["ps"] = (S.grid2spec(sp, jnp.log(state["ps_grid"] / pc.P0)),
+                   state["ps"][1])
     return state
 
 

@@ -75,7 +75,7 @@ def get_grid_point_tendencies(consts, state, j2: int, physics_fn=None, ctx=None)
     vor = state["vor"][j2]
     div = state["div"][j2]
     t = state["t"][j2]
-    tr = state["tr"][:, j2]  # (ntr, kx, mx, nx)
+    tr = state["tr"][j2]  # (ntr, kx, mx, nx)
     ps = state["ps"][j2]
     ntr = tr.shape[0]
 

@@ -21,8 +21,10 @@ def _hordif(field, fdt, dmp, dmp1):
 
 def _step_field(params, sp, j1: int, dt, eps, f, fdt):
     """Leapfrog + Robert-Williams filter update of one prognostic
-    (time_stepping.f90:164-188). f: (2, ...); fdt: (...). j1 is 1-based as in
-    the reference: (1,1) forward, (1,2) initial leapfrog, (2,2) filtered."""
+    (time_stepping.f90:164-188). f: (lev0, lev1) tuple; fdt: (...). j1 is
+    1-based as in the reference: (1,1) forward, (1,2) initial leapfrog,
+    (2,2) filtered. Time levels are pytree tuple elements, not a stacked
+    array axis — level selection costs nothing at trace time."""
     if params.ix == params.iy * 4:
         fdt = S.truncate(sp, fdt)
     fj = f[j1 - 1]
@@ -31,7 +33,7 @@ def _step_field(params, sp, j1: int, dt, eps, f, fdt):
     # The reference computes the second-level filter displacement with the
     # already-updated first level (sequential aliasing in step_field_2d).
     f2 = fnew - (1.0 - params.wil) * eps * (f1 - 2.0 * fj + fnew)
-    return jnp.stack([f1, f2])
+    return (f1, f2)
 
 
 def step(consts, state, j1: int, j2: int, dt: float, physics_fn=None, ctx=None):
@@ -71,10 +73,10 @@ def step(consts, state, j1: int, j2: int, dt: float, physics_fn=None, ctx=None):
     divdt = _hordif(div0, divdt, hd.dmps, im.dmp1s)
     tdt = _hordif(tcor, tdt, hd.dmps, im.dmp1s)
 
-    qcor = state["tr"][0, 0] + state["qcorh"] * hd.qcorv[:, None, None]
+    qcor = state["tr"][0][0] + state["qcorh"] * hd.qcorv[:, None, None]
     trdt = jnp.stack(
         [_hordif(qcor, trdt[0], hd.dmpd, im.dmp1d)]
-        + [_hordif(state["tr"][itr, 0], trdt[itr], hd.dmp, im.dmp1)
+        + [_hordif(state["tr"][0][itr], trdt[itr], hd.dmp, im.dmp1)
            for itr in range(1, params.ntr)])
 
     # --- leapfrog with Robert-Williams filter (time_stepping.f90:124-144) ---
@@ -85,7 +87,7 @@ def step(consts, state, j1: int, j2: int, dt: float, physics_fn=None, ctx=None):
     state["vor"] = _step_field(params, sp, j1, dt, eps, state["vor"], vordt)
     state["div"] = _step_field(params, sp, j1, dt, eps, state["div"], divdt)
     state["t"] = _step_field(params, sp, j1, dt, eps, state["t"], tdt)
-    state["tr"] = jnp.stack([
-        _step_field(params, sp, j1, dt, eps, state["tr"][itr], trdt[itr])
-        for itr in range(params.ntr)])
+    # tr levels are (ntr, kx, mx, nx); the filter update is elementwise so
+    # the whole tracer batch steps in one call.
+    state["tr"] = _step_field(params, sp, j1, dt, eps, state["tr"], trdt)
     return state

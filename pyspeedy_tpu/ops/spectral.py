@@ -153,7 +153,19 @@ class SpectralTransform(NamedTuple):
     # the operator.
     dft_fwd_ri: jnp.ndarray  # (2, ix, mx)
     dft_inv_ri: jnp.ndarray  # (2, mx, ix)
+    # Dense block-diagonal Legendre operators: the (m-batched) per-wavenumber
+    # contractions "jmn,...jm->...mn" make m a *batch* dimension of the dot,
+    # which XLA lowers with batch-major layout constraints — profiling the
+    # 256-member TPU ensemble showed the resulting relayout copies/slices of
+    # (members, kx, il, ix)-sized arrays dominating device time (~77%).
+    # Flattening (j,m)->(m,n) into ONE dense matrix (zeros off the m-diagonal)
+    # turns the whole Legendre stage into a plain (..., il*mx) @ (il*mx, mx*nx)
+    # matmul: minormost contraction, no batch dims, no transposes. The mx-fold
+    # FLOP redundancy is irrelevant at T30 scale (the MXU is idle anyway).
+    leg_dir_dense: jnp.ndarray  # (il*mx, mx*nx) or (1,1) placeholder
+    leg_inv_dense: jnp.ndarray  # (mx*nx, il*mx) or (1,1) placeholder
     use_matmul_fft: bool = False  # static flag, not a pytree leaf in practice
+    use_dense_legendre: bool = False  # static flag
 
     @property
     def iy(self):
@@ -183,6 +195,10 @@ class SpectralTransform(NamedTuple):
         return SpectralTransform(
             *(jnp.asarray(a, dtype=dtype) if not isinstance(a, bool) else a
               for a in self))
+
+    @property
+    def ix(self):
+        return self.dft_fwd_re.shape[0]
 
 
 def build_spectral(params: ModelParams, geom: Geometry,
@@ -263,6 +279,23 @@ def build_spectral(params: ModelParams, geom: Geometry,
         [(cpol_even - cpol_odd) * wt3,
          ((cpol_even + cpol_odd) * wt3)[::-1]], axis=0)
 
+    # Dense block-diagonal Legendre matrices (see SpectralTransform docstring).
+    # Gated by size: the zero-padding costs mx-fold FLOPs/memory, a clear win
+    # at T30 (6 MB, removes all relayout copies) but not at T63 (100+ MB).
+    il = 2 * iy
+    use_dense = use_matmul_fft and (il * mx * mx * nx) <= 4_000_000
+    if use_dense:
+        idx = np.arange(mx)
+        Dd = np.zeros((il, mx, mx, nx))
+        Dd[:, idx, idx, :] = cpol_dir_full
+        leg_dir_dense = Dd.reshape(il * mx, mx * nx)
+        Ed = np.zeros((mx, nx, il, mx))
+        Ed[idx, :, :, idx] = cpol_inv_full.transpose(1, 2, 0)
+        leg_inv_dense = Ed.reshape(mx * nx, il * mx)
+    else:
+        leg_dir_dense = np.zeros((1, 1))
+        leg_inv_dense = np.zeros((1, 1))
+
     dt = np.float64 if params.precision == "f64" else np.float32
     a = lambda x: jnp.asarray(np.asarray(x, dtype=dt))
     return SpectralTransform(
@@ -277,7 +310,9 @@ def build_spectral(params: ModelParams, geom: Geometry,
         cpol_inv_full=a(cpol_inv_full), cpol_dir_full=a(cpol_dir_full),
         dft_fwd_ri=a(np.stack([dft_fwd_re, dft_fwd_im])),
         dft_inv_ri=a(np.stack([dft_inv_re, dft_inv_im])),
+        leg_dir_dense=a(leg_dir_dense), leg_inv_dense=a(leg_inv_dense),
         use_matmul_fft=use_matmul_fft,
+        use_dense_legendre=use_dense,
     )
 
 
@@ -348,6 +383,19 @@ def _legendre_inverse(sp: SpectralTransform, spec: jnp.ndarray) -> jnp.ndarray:
     return jnp.einsum("jmn,...mn->...jm", sp.cpol_inv_full, spec)
 
 
+def _leg_dir_dense(sp: SpectralTransform, F: jnp.ndarray) -> jnp.ndarray:
+    """Fourier (..., il, mx) -> spectral (..., mx, nx) as ONE flat matmul
+    against the block-diagonal dense operator (see SpectralTransform)."""
+    x = F.reshape(*F.shape[:-2], sp.il * sp.mx)
+    return (x @ sp.leg_dir_dense).reshape(*F.shape[:-2], sp.mx, sp.nx)
+
+
+def _leg_inv_dense(sp: SpectralTransform, S: jnp.ndarray) -> jnp.ndarray:
+    """Spectral (..., mx, nx) -> Fourier (..., il, mx) as ONE flat matmul."""
+    x = S.reshape(*S.shape[:-2], sp.mx * sp.nx)
+    return (x @ sp.leg_inv_dense).reshape(*S.shape[:-2], sp.il, sp.mx)
+
+
 # ---------------------------------------------------------------------------
 # Public transforms and operators
 # ---------------------------------------------------------------------------
@@ -363,6 +411,12 @@ def grid2spec(sp: SpectralTransform, grid: jnp.ndarray) -> jnp.ndarray:
     """
     if not sp.use_matmul_fft:
         return _legendre_direct(sp, _fourier_direct(sp, grid))
+    if sp.use_dense_legendre:
+        # Pure chain of (..., X) @ (X, Y) matmuls: contraction always on the
+        # minormost axis, zero batch dims, so XLA inserts no relayout copies.
+        s_re = _leg_dir_dense(sp, grid @ sp.dft_fwd_re)
+        s_im = _leg_dir_dense(sp, grid @ sp.dft_fwd_im)
+        return jax.lax.complex(s_re, s_im).astype(sp.cdtype)
     F2 = jnp.einsum("...ji,cim->c...jm", grid, sp.dft_fwd_ri)
     S2 = jnp.einsum("jmn,c...jm->c...mn", sp.cpol_dir_full, F2)
     return jax.lax.complex(S2[0], S2[1]).astype(sp.cdtype)
@@ -376,9 +430,17 @@ def spec2grid(sp: SpectralTransform, spec: jnp.ndarray, kcos: int = 1) -> jnp.nd
     """
     if not sp.use_matmul_fft:
         return _fourier_inverse(sp, _legendre_inverse(sp, spec), kcos)
-    S2 = jnp.stack([spec.real, spec.imag])
-    F2 = jnp.einsum("jmn,c...mn->c...jm", sp.cpol_inv_full, S2)
-    g = jnp.einsum("c...jm,cmi->...ji", F2, sp.dft_inv_ri).astype(sp.rdtype)
+    if sp.use_dense_legendre:
+        # dft_inv_im row m=0 is identically zero (sin 0), which realizes the
+        # reference's "discard the m=0 imaginary part" rule (fourier.f90:72-76)
+        # without masking.
+        g = (_leg_inv_dense(sp, spec.real) @ sp.dft_inv_re
+             + _leg_inv_dense(sp, spec.imag) @ sp.dft_inv_im)
+        g = g.astype(sp.rdtype)
+    else:
+        S2 = jnp.stack([spec.real, spec.imag])
+        F2 = jnp.einsum("jmn,c...mn->c...jm", sp.cpol_inv_full, S2)
+        g = jnp.einsum("c...jm,cmi->...ji", F2, sp.dft_inv_ri).astype(sp.rdtype)
     if kcos != 1:
         g = g * sp.cosgr[:, None]
     return g

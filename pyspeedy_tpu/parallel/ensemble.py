@@ -28,7 +28,8 @@ def broadcast_state(state: dict, n_members: int) -> dict:
         if name == "sppt_key":
             return jax.random.split(x, n_members)
         if name in M.DYNAMIC_FIELDS:
-            return jnp.broadcast_to(x[None], (n_members,) + x.shape)
+            return jax.tree.map(
+                lambda a: jnp.broadcast_to(a[None], (n_members,) + a.shape), x)
         return x
 
     return {k: rep(k, v) for k, v in state.items()}

@@ -79,8 +79,10 @@ def ensemble_state_sharding(mesh: Mesh, state: dict, shard_space: bool = True):
             shardings[name] = NamedSharding(mesh, P("ensemble"))
             continue
         batched = name in DYNAMIC_FIELDS
-        shardings[name] = NamedSharding(
-            mesh, _spec_for_array(name, arr, batched, shard_space, n_space))
+        shardings[name] = jax.tree.map(
+            lambda a: NamedSharding(
+                mesh, _spec_for_array(name, a, batched, shard_space, n_space)),
+            arr)
     return shardings
 
 

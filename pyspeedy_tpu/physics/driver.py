@@ -46,7 +46,7 @@ def get_physical_tendencies(consts, state, ctx, utend, vtend, ttend, trtend):
     ucos, vcos = S.vort2vel(sp, state["vor"][0], state["div"][0])
     ug, vg, tg, qg, phig, pslg1 = _multi_spec2grid(
         sp,
-        [ucos, vcos, state["t"][0], state["tr"][0, 0], state["phi"],
+        [ucos, vcos, state["t"][0], state["tr"][0][0], state["phi"],
          state["ps"][0][None]],
         consts.fuse_transforms)
     rcos = sp.cosgr[:, None]

@@ -195,17 +195,34 @@ def resolve_dims(params, dims, n_months=None):
 # axis order.
 
 def internal_perm(spec: VarSpec):
-    """Permutation p such that internal = api.transpose(p); None for 0-d."""
+    """Permutation p such that internal = api.transpose(p); None for 0-d.
+
+    Variables with a t_levs axis always put it FIRST internally: at runtime
+    the two leapfrog time levels are held as a Python TUPLE of per-level
+    arrays (a pytree, so time-level selection is free at trace time instead
+    of a per-step strided slice + re-stack of the scan carry — those slices
+    showed up as async DMA in the TPU ensemble profile). The stacked array
+    view (= np.stack(tuple, 0)) is only materialized at the API boundary.
+    """
     dims = spec.dims
     if not dims:
         return None
     if spec.name == "fband":
         return tuple(range(len(dims)))  # stored (301, 4) as in the API
+    tl = (dims.index("t_levs"),) if "t_levs" in dims else ()
     if "mx" in dims:
         im, inn = dims.index("mx"), dims.index("nx")
-        others = [i for i in range(len(dims)) if i not in (im, inn)]
-        return tuple(reversed(others)) + (im, inn)
-    return tuple(reversed(range(len(dims))))
+        others = [i for i in range(len(dims))
+                  if i not in (im, inn) and i not in tl]
+        return tl + tuple(reversed(others)) + (im, inn)
+    others = [i for i in range(len(dims)) if i not in tl]
+    return tl + tuple(reversed(others))
+
+
+def is_tlev(spec: VarSpec) -> bool:
+    """True when the variable carries the leapfrog t_levs axis (held as a
+    tuple of per-level arrays internally)."""
+    return bool(spec.dims) and "t_levs" in spec.dims
 
 
 def internal_shape(params, spec: VarSpec, n_months=None):
@@ -217,18 +234,24 @@ def internal_shape(params, spec: VarSpec, n_months=None):
 
 
 def to_api_array(spec: VarSpec, arr):
-    """Internal layout -> Fortran-order API layout."""
+    """Internal layout (tuple-of-levels for t_levs vars) -> Fortran-order
+    API layout."""
+    import numpy as _np
+    if isinstance(arr, (tuple, list)):
+        arr = _np.stack([_np.asarray(a) for a in arr], axis=0)
     perm = internal_perm(spec)
     if perm is None or list(perm) == sorted(perm):
         return arr
-    import numpy as _np
     inv = _np.argsort(_np.asarray(perm))
     return arr.transpose(tuple(inv))
 
 
 def from_api_array(spec: VarSpec, arr):
-    """Fortran-order API layout -> internal layout."""
+    """Fortran-order API layout -> internal layout (tuple-of-levels for
+    t_levs vars)."""
     perm = internal_perm(spec)
-    if perm is None or list(perm) == sorted(perm):
-        return arr
-    return arr.transpose(perm)
+    if perm is not None and list(perm) != sorted(perm):
+        arr = arr.transpose(perm)
+    if is_tlev(spec):
+        return tuple(arr[i] for i in range(arr.shape[0]))
+    return arr

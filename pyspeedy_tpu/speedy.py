@@ -105,7 +105,8 @@ class Speedy:
         spec = self._spec_for(var_name)
         # A writable host copy, like the reference's f2py getters
         # (speedy_driver.f90 get_* copy out).
-        arr = np.array(self._state[var_name])
+        val = self._state[var_name]
+        arr = val if isinstance(val, tuple) else np.array(val)
         out = to_api_array(spec, arr)
         return np.ascontiguousarray(out) if out.ndim else out
 
@@ -129,8 +130,13 @@ class Speedy:
             if self.get_shape(var_name) != value.shape:
                 raise ValueError("Array shape missmatch")
             internal = from_api_array(spec, value)
-            self._state[var_name] = jnp.asarray(
-                internal, dtype=self._state[var_name].dtype)
+            cur = self._state[var_name]
+            if isinstance(internal, tuple):
+                self._state[var_name] = tuple(
+                    jnp.asarray(a, dtype=c.dtype)
+                    for a, c in zip(internal, cur))
+            else:
+                self._state[var_name] = jnp.asarray(internal, dtype=cur.dtype)
         else:
             self._state[var_name] = jnp.asarray(
                 value, dtype=self._state[var_name].dtype)
@@ -340,7 +346,9 @@ class Speedy:
         stepping metadata. The reference has no binary restart files — its
         mechanism is full state exposure through get/set (SURVEY.md §5);
         this adds a one-call save/restore on top of the same state dict."""
-        arrays = {k: np.asarray(v) for k, v in self._state.items()}
+        arrays = {k: (np.stack([np.asarray(a) for a in v])
+                      if isinstance(v, tuple) else np.asarray(v))
+                  for k, v in self._state.items()}
         meta = dict(
             current_step=self._current_step,
             cal=(self._cal.year, self._cal.month, self._cal.day,
@@ -358,8 +366,13 @@ class Speedy:
             meta = ast.literal_eval(str(data["__meta__"][0]))
             for k in self._state:
                 if k in data.files:
-                    self._state[k] = jnp.asarray(
-                        data[k], dtype=self._state[k].dtype)
+                    cur = self._state[k]
+                    if isinstance(cur, tuple):
+                        self._state[k] = tuple(
+                            jnp.asarray(data[k][i], dtype=cur[i].dtype)
+                            for i in range(len(cur)))
+                    else:
+                        self._state[k] = jnp.asarray(data[k], dtype=cur.dtype)
         self._current_step = int(meta["current_step"])
         y, m, d, h, mi, midx = meta["cal"]
         self._cal = ModelCalendar(y, m, d, h, mi, month_idx=midx,
@@ -527,18 +540,21 @@ class SpeedyEns:
                 lead._consts, donate=False)
         run = self._batched_run[key]
 
+        import jax as _jax
+
         state = dict(lead._state)
         for name in list(state.keys()):
             if name in DYNAMIC_FIELDS:
-                state[name] = _jnp.stack(
-                    [m._state[name] for m in self.members])
+                state[name] = _jax.tree.map(
+                    lambda *leaves: _jnp.stack(leaves),
+                    *[m._state[name] for m in self.members])
         ctx, cal = M.build_step_ctx(lead._cal, lead._current_step, n_steps)
         out = run(state, ctx)
         for m, member in enumerate(self.members):
             st = dict(member._state)
             for name in DYNAMIC_FIELDS:
                 if name in out:
-                    st[name] = out[name][m]
+                    st[name] = _jax.tree.map(lambda a: a[m], out[name])
             member._state = st
             member._current_step += n_steps
             member._cal = dataclasses.replace(cal)

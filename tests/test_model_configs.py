@@ -39,7 +39,7 @@ def test_dynamics_only_240_steps():
     vor = np.asarray(state["vor"])
     assert np.isfinite(vor).all()
     # Without physics there is no diabatic forcing: flow stays weak
-    t_mean = float(state["t"][0, -1, 0, 0].real) / np.sqrt(2.0)
+    t_mean = float(state["t"][0][-1, 0, 0].real) / np.sqrt(2.0)
     assert 200.0 < t_mean < 320.0
 
 
@@ -60,7 +60,7 @@ def test_sppt_ensemble_spread():
     ctx, _ = M.build_step_ctx(dataclasses.replace(cal), 2, 12)
     out_b = run(state_b, ctx)
 
-    da = np.abs(np.asarray(out_a["t"] - out_b["t"])).max()
+    da = np.abs(np.asarray(out_a["t"]) - np.asarray(out_b["t"])).max()
     assert da > 1e-10, "SPPT members with different keys must diverge"
     # AR(1) state persisted and is nonzero
     assert np.abs(np.asarray(out_a["sppt_spec"])).max() > 0

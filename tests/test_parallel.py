@@ -50,8 +50,9 @@ def test_vmap_members_match_single():
 
     for name in ("vor", "div", "t", "ps", "tr", "precnv", "land_temp"):
         for m in range(4):
+            got = jax.tree.map(lambda a: np.asarray(a[m]), out[name])
             np.testing.assert_allclose(
-                np.asarray(out[name][m]), np.asarray(ref[name]),
+                np.asarray(got), np.asarray(ref[name]),
                 rtol=0, atol=1e-13, err_msg=f"{name} member {m}")
 
 
@@ -82,11 +83,13 @@ def test_perturbed_members_diverge():
     # must change only that member's trajectory.
     consts, state, cal = demo()
     batched = broadcast_state(state, 2)
-    batched["t"] = batched["t"].at[1].multiply(1.0 + 1e-4)
+    batched["t"] = tuple(lev.at[1].multiply(1.0 + 1e-4)
+                         for lev in batched["t"])
     run = make_run_steps_batched(consts, donate=False)
     ctx, _ = M.build_step_ctx(cal, 2, N_STEPS)
     out = run(batched, ctx)
-    diff = np.abs(np.asarray(out["t"][0] - out["t"][1])).max()
+    t0 = np.asarray(out["t"][0])  # time level 0, all members
+    diff = np.abs(t0[0] - t0[1]).max()
     assert diff > 1e-6
 
 
