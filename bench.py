@@ -49,7 +49,7 @@ def main():
     print(f"bench: backend={backend} precision={precision}", file=sys.stderr)
 
     consts, state, cal = make_demo_model(params)
-    run = M.make_run_steps(consts)
+    run = M.make_run_steps(consts, phase=2)  # chunks start at step 2 (+36*d)
 
     # Warm-up / compile with a 1-day scan, then time multi-day runs.
     n_day = params.nsteps
@@ -79,7 +79,7 @@ def main():
         n_members = 64
         _, state1, cal2 = make_demo_model(params)
         batched = broadcast_state(state1, n_members)
-        runb = make_run_steps_batched(consts)
+        runb = make_run_steps_batched(consts, phase=2)
         ctx, cal2 = M.build_step_ctx(cal2, 2, n_day)
         batched = runb(batched, ctx)
         jax.block_until_ready(batched)

@@ -50,10 +50,13 @@ def set_forcing(consts, state, year_frac, tyear):
     state["alb_sea"] = alb_sea
     state["alb_surface"] = alb_sea + state["fmask_land"] * (alb_land - alb_sea)
 
-    # CO2 absorptivity trend (forcing.f90:67-74)
-    if consts.increase_co2:
-        state["air_absortivity_co2"] = state["ablco2_ref"] * jnp.exp(
-            _DEL_CO2 * (year_frac - _IYEAR_REF))
+    # CO2 absorptivity trend (forcing.f90:67-74). `increase_co2` is a
+    # runtime-settable state scalar in the reference
+    # (registry/model_state_def.py:305-311), so it is consumed as a traced
+    # value: flipping model["increase_co2"] takes effect without recompiling.
+    trend = state["ablco2_ref"] * jnp.exp(_DEL_CO2 * (year_frac - _IYEAR_REF))
+    state["air_absortivity_co2"] = jnp.where(
+        state["increase_co2"], trend, state["air_absortivity_co2"])
 
     # Orographic T/q corrections for horizontal diffusion (forcing.f90:76-101)
     gamlat = pc.GAMMA / (1000.0 * pc.GRAV)

@@ -82,15 +82,17 @@ def couple_land_atm(consts, state, day0: bool, imont1, tmonth):
     if day0:
         state["stl_lm"] = stlcl
         state["land_temp"] = stlcl
-    elif consts.land_coupling_flag:
-        # slab land model (land_model.f90:195-216)
+    else:
+        # slab land model (land_model.f90:195-216), applied only where the
+        # runtime land_coupling_flag state scalar is set (land_model.f90:179;
+        # off -> land_temp from climatology, stl_lm untouched).
         tanom = state["stl_lm"] - stlcl
         tanom = state["cdland"] * (
             tanom + state["rhcapl"] * state["hfluxn"][0])
-        state["stl_lm"] = tanom + stlcl
-        state["land_temp"] = state["stl_lm"]
-    else:
-        state["land_temp"] = stlcl
+        stl_lm_new = tanom + stlcl
+        flag = state["land_coupling_flag"]
+        state["stl_lm"] = jnp.where(flag, stl_lm_new, state["stl_lm"])
+        state["land_temp"] = jnp.where(flag, stl_lm_new, stlcl)
 
     state["snow_depth"] = snowdcl
     state["soil_avail_water"] = soilwcl

@@ -156,8 +156,12 @@ def couple_sea_atm(consts, state, day0: bool, imont1, tmonth, month_idx):
     sstcl = forin5(state["sst12"], imont1, tmonth)
     sicecl = forint(state["sea_ice_frac12"], imont1, tmonth)
 
-    if consts.sst_anomaly_coupling_flag:
-        state["sstan_ob"] = monthly_interp(state["sst_anom"], month_idx, tmonth)
+    # sst_anomaly_coupling_flag is a runtime state scalar
+    # (sea_model.f90:218-222); off -> sstan_ob keeps its (zero) value.
+    ssta_flag = state["sst_anomaly_coupling_flag"]
+    state["sstan_ob"] = jnp.where(
+        ssta_flag, monthly_interp(state["sst_anom"], month_idx, tmonth),
+        state["sstan_ob"])
 
     # Freezing-point adjustment over sea ice (sea_model.f90:232-252)
     warm = sstcl > SSTFR
@@ -184,8 +188,8 @@ def couple_sea_atm(consts, state, day0: bool, imont1, tmonth, month_idx):
         state = _run_sea_model(consts, state)
 
     # Compose atmosphere-side fields (sea_model.f90:274-309)
-    state["sstan_am"] = (state["sstan_ob"] if consts.sst_anomaly_coupling_flag
-                         else jnp.zeros_like(sstcl))
+    state["sstan_am"] = jnp.where(ssta_flag, state["sstan_ob"],
+                                  jnp.zeros_like(sstcl))
     state["sst_am"] = state["sstcl_ob"] + state["sstan_am"]
 
     # ice_coupling_flag = 1: use model ice

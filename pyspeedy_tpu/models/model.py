@@ -56,10 +56,11 @@ class Consts:
     gp: Any                 # GeopotTables
     implicit: Any           # ImplicitTables for the current dt
     fband: Any              # (301, 4)
-    land_coupling_flag: bool = True
-    sst_anomaly_coupling_flag: bool = True
-    increase_co2: bool = False
-    sea_coupling_flag: int = 0
+    # NB: increase_co2 / land_coupling_flag / sst_anomaly_coupling_flag are
+    # NOT consts: they are runtime-settable state scalars (traced values),
+    # matching the reference registry (model_state_def.py:305-311, 377-383,
+    # 412-418). See allocate_state for their defaults.
+    sea_coupling_flag: int = 0  # compile-time in the reference (sea_model.f90:14-20)
     physics_on: bool = True
     # Concatenate all per-step transforms into single mega-batched calls.
     # A large win for single-member runs (fewer launches, bigger matmuls);
@@ -95,10 +96,10 @@ def build_consts_cached(params: ModelParams, **flags):
     return _CONSTS_CACHE[key]
 
 
-def make_run_steps_cached(consts: Consts):
-    key = id(consts)
+def make_run_steps_cached(consts: Consts, phase: int | None = None):
+    key = (id(consts), phase)
     if key not in _RUN_FN_CACHE:
-        _RUN_FN_CACHE[key] = make_run_steps(consts)
+        _RUN_FN_CACHE[key] = make_run_steps(consts, phase)
     return _RUN_FN_CACHE[key]
 
 
@@ -149,6 +150,11 @@ def allocate_state(params: ModelParams, n_months: int = 1) -> dict:
     state["air_absortivity_co2"] = np.asarray(6.0, dtype=rdt)
     state["ablco2_ref"] = np.asarray(6.0, dtype=rdt)
     state["error_flag"] = np.asarray(False)
+    # Runtime-settable flags (reference defaults, model_state_def.py:305-311,
+    # 377-383, 412-418); consumed as traced values inside the step.
+    state["increase_co2"] = np.asarray(False)
+    state["land_coupling_flag"] = np.asarray(True)
+    state["sst_anomaly_coupling_flag"] = np.asarray(True)
     if params.sppt_on:
         state.update(sppt_mod.init_sppt_state(params, jax.random.key(0)))
     return state
@@ -185,10 +191,26 @@ DYNAMIC_FIELDS = frozenset({
 })
 
 
-def split_state(state: dict):
+# Subset of DYNAMIC_FIELDS that every step recomputes from scratch BEFORE any
+# consumer reads them: the physics driver writes precip/flux/radiation work
+# arrays (physics.f90 ordering), and the land/sea coupler consumes hfluxn/shf/
+# evap of the SAME step (speedy.f90:56-72). Nothing reads the previous step's
+# value, so carrying them across scan iterations is pure HBM traffic — the
+# batched ensemble runner drops them from the carry. (Registry reads of these
+# after a batched run then reflect initialization, not the last step; the
+# single-member path keeps full parity.) The nstrad shortwave cache
+# (tt_rsw/rad_tau2/rad_strat_corr/tsr/ssrd/ssr/qcloud_equiv) is NOT here: the
+# cached branch reads the previous shortwave step's values.
+EPHEMERAL_FIELDS = frozenset({
+    "rad_flux", "rad_st4a", "slrd", "slr", "olr", "precnv", "precls",
+    "cbmf", "ustr", "vstr", "shf", "evap", "slru", "hfluxn",
+})
+
+
+def split_state(state: dict, carry_fields=DYNAMIC_FIELDS):
     """(dynamic, static) partition of the state dict."""
-    dyn = {k: v for k, v in state.items() if k in DYNAMIC_FIELDS}
-    static = {k: v for k, v in state.items() if k not in DYNAMIC_FIELDS}
+    dyn = {k: v for k, v in state.items() if k in carry_fields}
+    static = {k: v for k, v in state.items() if k not in carry_fields}
     return dyn, static
 
 
@@ -352,10 +374,15 @@ def build_step_ctx(cal: ModelCalendar, current_step: int, n_steps: int):
     return ctx, cal
 
 
-def make_single_step(consts: Consts):
+def make_single_step(consts: Consts, static_sw=None):
     """The full per-step update (the body of do_single_step,
     speedy.f90:20-74) as a pure state -> state function; ctx_i carries the
-    step's calendar scalars."""
+    step's calendar scalars.
+
+    static_sw: None for a traced compute_shortwave (lax.cond inside the
+    physics driver), or a Python bool to specialize the step on its phase in
+    the deterministic nstrad=3 cadence (no cond, no conditional copies of the
+    radiation caches)."""
     params = consts.params
     pf = _physics_fn(consts)
 
@@ -373,9 +400,10 @@ def make_single_step(consts: Consts):
         state = jax.lax.cond(ctx_i["do_forcing"], with_forcing,
                              lambda st: dict(st), state)
 
-        state["compute_shortwave"] = ctx_i["compute_shortwave"]
+        sw = ctx_i["compute_shortwave"] if static_sw is None else static_sw
+        state["compute_shortwave"] = jnp.asarray(sw)
         state = step(consts, state, 2, 2, 2.0 * params.delt, pf,
-                     {"compute_shortwave": ctx_i["compute_shortwave"]})
+                     {"compute_shortwave": sw})
 
         bad = check_diagnostics(consts, state, 1)
         state["error_flag"] = state["error_flag"] | bad
@@ -388,22 +416,49 @@ def make_single_step(consts: Consts):
     return single_step
 
 
-def make_run_steps(consts: Consts):
+def make_run_steps(consts: Consts, phase: int | None = None):
     """Build the jitted n-step integrator (shapes specialize on n).
 
     Only the DYNAMIC_FIELDS travel through the scan carry; the invariant
-    fields ride as loop constants."""
-    single_step = make_single_step(consts)
+    fields ride as loop constants.
+
+    phase: current_step % 3 at the first step of the scan. When given, the
+    scan runs over triples of steps with the shortwave flag specialized
+    statically per position (requires n_steps % 3 == 0); when None, every
+    step carries a traced flag through lax.cond."""
+    if phase is None:
+        single_step = make_single_step(consts)
+
+        @jax.jit
+        def run_steps(state, ctx):
+            dyn, static = split_state(state)
+
+            def body(d, ctx_i):
+                out = single_step({**static, **d}, ctx_i)
+                return {k: out[k] for k in d}, None
+
+            dyn, _ = jax.lax.scan(body, dyn, ctx)
+            return {**static, **dyn}
+
+        return run_steps
+
+    # Shortwave runs when stepno % 3 == 0 (speedy.f90:53); position j of each
+    # triple is stepno = first + 3*i + j, so the pattern is phase-periodic.
+    steps3 = [make_single_step(consts, static_sw=((phase + j) % 3 == 0))
+              for j in range(3)]
 
     @jax.jit
-    def run_steps(state, ctx):
+    def run_steps3(state, ctx):
         dyn, static = split_state(state)
+        ctx3 = jax.tree.map(lambda a: a.reshape((-1, 3) + a.shape[1:]), ctx)
 
-        def body(d, ctx_i):
-            out = single_step({**static, **d}, ctx_i)
-            return {k: out[k] for k in d}, None
+        def body(d, ctx_t):
+            st = {**static, **d}
+            for j, fn in enumerate(steps3):
+                st = fn(st, {k: v[j] for k, v in ctx_t.items()})
+            return {k: st[k] for k in d}, None
 
-        dyn, _ = jax.lax.scan(body, dyn, ctx)
+        dyn, _ = jax.lax.scan(body, dyn, ctx3)
         return {**static, **dyn}
 
-    return run_steps
+    return run_steps3

@@ -320,6 +320,19 @@ def build_spectral(params: ModelParams, geom: Geometry,
 # Fourier (longitude) stage
 # ---------------------------------------------------------------------------
 
+def _check_static_flags(sp: SpectralTransform) -> None:
+    """The path-selection flags are consulted with Python `if` inside traced
+    code: they MUST be Python bools at trace time. That holds when the
+    transform is closed over (the Consts pattern everywhere in this package);
+    passing a SpectralTransform as a jit *argument* would turn the flags into
+    tracers — fail loudly instead of mis-tracing."""
+    if not (isinstance(sp.use_matmul_fft, bool)
+            and isinstance(sp.use_dense_legendre, bool)):
+        raise TypeError(
+            "SpectralTransform path flags became traced values; pass the "
+            "transform by closure (e.g. via Consts), not as a jit argument.")
+
+
 def _fourier_direct(sp: SpectralTransform, grid: jnp.ndarray) -> jnp.ndarray:
     """Grid -> zonal Fourier coefficients, 1/ix normalized (fourier.f90:96-123).
 
@@ -409,6 +422,7 @@ def grid2spec(sp: SpectralTransform, grid: jnp.ndarray) -> jnp.ndarray:
     boundary. TPU lowers complex einsums to per-plane extraction copies of
     the re/im components; the real pipeline never creates them.
     """
+    _check_static_flags(sp)
     if not sp.use_matmul_fft:
         return _legendre_direct(sp, _fourier_direct(sp, grid))
     if sp.use_dense_legendre:
@@ -428,6 +442,7 @@ def spec2grid(sp: SpectralTransform, spec: jnp.ndarray, kcos: int = 1) -> jnp.nd
     Matmul-FFT path: real-pair pipeline (see grid2spec); the reference's
     "discard m=0 imaginary part" rule is inherent in dft_inv_ri[1, 0] == 0.
     """
+    _check_static_flags(sp)
     if not sp.use_matmul_fft:
         return _fourier_inverse(sp, _legendre_inverse(sp, spec), kcos)
     if sp.use_dense_legendre:

@@ -27,7 +27,7 @@ def broadcast_state(state: dict, n_members: int) -> dict:
     def rep(name, x):
         if name == "sppt_key":
             return jax.random.split(x, n_members)
-        if name in M.DYNAMIC_FIELDS:
+        if name in M.DYNAMIC_FIELDS and name not in M.EPHEMERAL_FIELDS:
             return jax.tree.map(
                 lambda a: jnp.broadcast_to(a[None], (n_members,) + a.shape), x)
         return x
@@ -36,34 +36,51 @@ def broadcast_state(state: dict, n_members: int) -> dict:
 
 
 def make_run_steps_batched(consts, mesh=None, shard_space: bool = True,
-                           donate: bool = True):
+                           donate: bool = True, phase: int | None = None):
     """Jitted n-step integrator over a member-batched state (leading member
     axis on DYNAMIC_FIELDS only). When a mesh is given, the state is
-    constrained to the ensemble/space sharding layout."""
+    constrained to the ensemble/space sharding layout.
+
+    phase: current_step % 3 at the scan start; when given, the scan runs over
+    step-triples with statically-placed shortwave (see model.make_run_steps)
+    and requires n_steps % 3 == 0."""
     import dataclasses
 
     # Per-field transforms batch well already under vmap; the fused
     # mega-concat variant regresses the batched path on TPU (see Consts).
     consts = dataclasses.replace(consts, fuse_transforms=False)
-    single = M.make_single_step(consts)
+
+    # Carry only fields whose previous-step value is actually consumed;
+    # EPHEMERAL_FIELDS are recomputed before use every step (see model.py).
+    carry_fields = M.DYNAMIC_FIELDS - M.EPHEMERAL_FIELDS
 
     def split(state):
-        dyn = {k: v for k, v in state.items() if k in M.DYNAMIC_FIELDS}
-        static = {k: v for k, v in state.items()
-                  if k not in M.DYNAMIC_FIELDS}
+        dyn = {k: v for k, v in state.items() if k in carry_fields}
+        static = {k: v for k, v in state.items() if k not in carry_fields}
         return dyn, static
+
+    if phase is None:
+        singles = [(M.make_single_step(consts), 1)]
+    else:
+        singles = [(M.make_single_step(
+            consts, static_sw=((phase + j) % 3 == 0)), 3) for j in range(3)]
+    group = singles[0][1]
 
     def run(state, ctx):
         dyn, static = split(state)
+        ctx_g = jax.tree.map(
+            lambda a: a.reshape((-1, group) + a.shape[1:]), ctx)
 
-        def body(d, ctx_i):
+        def body(d, ctx_t):
             def one(dd):
-                out = single({**static, **dd}, ctx_i)
-                return {k: out[k] for k in dd}
+                st = {**static, **dd}
+                for j, (fn, _) in enumerate(singles):
+                    st = fn(st, {k: v[j] for k, v in ctx_t.items()})
+                return {k: st[k] for k in dd}
 
             return jax.vmap(one)(d), None
 
-        dyn, _ = jax.lax.scan(body, dyn, ctx)
+        dyn, _ = jax.lax.scan(body, dyn, ctx_g)
         return {**static, **dyn}
 
     if mesh is None:

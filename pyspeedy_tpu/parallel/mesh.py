@@ -70,7 +70,7 @@ def _spec_for_array(name: str, arr, batched: bool, shard_space: bool,
 def ensemble_state_sharding(mesh: Mesh, state: dict, shard_space: bool = True):
     """NamedSharding pytree for a member-batched state dict (DYNAMIC_FIELDS
     carry a leading member axis; the rest are member-shared)."""
-    from ..models.model import DYNAMIC_FIELDS
+    from ..models.model import DYNAMIC_FIELDS, EPHEMERAL_FIELDS
 
     n_space = mesh.shape["space"]
     shardings = {}
@@ -78,7 +78,9 @@ def ensemble_state_sharding(mesh: Mesh, state: dict, shard_space: bool = True):
         if name in ("sppt_key",):
             shardings[name] = NamedSharding(mesh, P("ensemble"))
             continue
-        batched = name in DYNAMIC_FIELDS
+        # Ephemeral fields are not member-batched (parallel/ensemble.py):
+        # they keep single-member shapes and are recomputed inside the step.
+        batched = name in DYNAMIC_FIELDS and name not in EPHEMERAL_FIELDS
         shardings[name] = jax.tree.map(
             lambda a: NamedSharding(
                 mesh, _spec_for_array(name, a, batched, shard_space, n_space)),

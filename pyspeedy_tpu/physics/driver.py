@@ -59,13 +59,8 @@ def get_physical_tendencies(consts, state, ctx, utend, vtend, ttend, trtend):
     rps = 1.0 / psg
     qg = jnp.maximum(qg, 0.0)
     se = pc.CP * tg + phig
-    rh_list, qsat_list = [], []
-    for k in range(kx):
-        r, q = spec_hum_to_rel_hum(tg[k], psg, geom.fsg[k], qg[k])
-        rh_list.append(r)
-        qsat_list.append(q)
-    rh = jnp.stack(rh_list)
-    qsat = jnp.stack(qsat_list)
+    # whole-column vectorized: sigma enters as a broadcast (kx, 1, 1) column
+    rh, qsat = spec_hum_to_rel_hum(tg, psg, geom.fsg[:, None, None], qg)
 
     # --- deep convection (physics.f90:123-132) ---
     iptop, cbmf, precnv, dfse, dfqa = conv.get_convection_tendencies(
@@ -110,8 +105,17 @@ def get_physical_tendencies(consts, state, ctx, utend, vtend, ttend, trtend):
                 state["tsr"], state["ssrd"], state["ssr"],
                 state["qcloud_equiv"])
 
-    tt_rsw, rad_tau2, rad_sc, tsr, ssrd, ssr, qcloud = jax.lax.cond(
-        ctx["compute_shortwave"], sw_branch, cached_branch, None)
+    # The nstrad=3 cadence is deterministic, so the scan builders specialize
+    # the step on a static phase where possible (a Python bool here): the
+    # cond disappears and the big rad_tau2/tt_rsw caches flow straight
+    # through instead of being copied through conditional outputs each step.
+    sw_flag = ctx["compute_shortwave"]
+    if isinstance(sw_flag, bool):
+        tt_rsw, rad_tau2, rad_sc, tsr, ssrd, ssr, qcloud = (
+            sw_branch(None) if sw_flag else cached_branch(None))
+    else:
+        tt_rsw, rad_tau2, rad_sc, tsr, ssrd, ssr, qcloud = jax.lax.cond(
+            sw_flag, sw_branch, cached_branch, None)
     state.update(tt_rsw=tt_rsw, rad_tau2=rad_tau2, rad_strat_corr=rad_sc,
                  tsr=tsr, ssrd=ssrd, ssr=ssr, qcloud_equiv=qcloud)
 

@@ -6,6 +6,7 @@ q is in g/kg throughout the physics; pressure is normalized by 1000 hPa.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 __all__ = ["get_qsat", "spec_hum_to_rel_hum", "rel_hum_to_spec_hum"]
 
@@ -29,7 +30,10 @@ def get_qsat(ta: jnp.ndarray, ps: jnp.ndarray, sig: float) -> jnp.ndarray:
         _E0 * jnp.exp(_C1 * (ta - _T0) / (ta - _T1)),
         _E0 * jnp.exp(_C2 * (ta - _T0) / (ta - _T2)),
     )
-    if sig <= 0.0:
+    # sig: a host-side scalar (<= 0 selects the reference-profile pressure),
+    # or a broadcastable (kx, 1, 1) column of sigma levels for whole-column
+    # vectorized calls. np.ndim avoids materializing traced arrays.
+    if np.ndim(sig) == 0 and not hasattr(sig, "aval") and float(sig) <= 0.0:
         p = ps[..., 0:1, 0:1]
     else:
         p = sig * ps

@@ -5,6 +5,7 @@ sigma-dependent RH threshold with capped latent heating."""
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from .. import constants as pc
 
@@ -29,26 +30,25 @@ def get_large_scale_condensation_tendencies(geom, psa, qa, qsat, itop):
     prg = pc.P0 / pc.GRAV
     psa2 = psa**2
 
-    dtlsc = [jnp.zeros_like(psa)]
-    dqlsc = [jnp.zeros_like(psa)]
-    for k in range(2, kx + 1):  # 1-based levels 2..kx
-        k0 = k - 1
-        sig2 = fsg[k0] ** 2
-        rhref = RHLSC + DRHLSC * (sig2 - 1.0)
-        if k == kx:
-            rhref = jnp.maximum(rhref, RHBLSC)
-        dqmax = qsmax * sig2 * rtlsc
+    # Level-parallel over 1-based levels 2..kx: per-level scalars become
+    # (kx, 1, 1) broadcast columns (all host-side numpy).
+    sig2 = np.asarray(fsg) ** 2
+    rhref = RHLSC + DRHLSC * (sig2 - 1.0)
+    rhref[kx - 1] = max(rhref[kx - 1], RHBLSC)
+    dqmax = qsmax * sig2 * rtlsc
+    lvl = np.zeros((kx, 1, 1), dtype=sig2.dtype)
+    lvl[1:] = 1.0  # level 1 (k0 = 0) carries no large-scale condensation
+    col = lambda a: a[:, None, None]
 
-        dqa = rhref * qsat[k0] - qa[k0]
-        cond = dqa < 0.0
-        itop = jnp.where(cond, jnp.minimum(k, itop), itop)
-        dq = jnp.where(cond, dqa * rtlsc, 0.0)
-        dt_ = jnp.where(cond, tfact * jnp.minimum(-dq, dqmax * psa2), 0.0)
-        dqlsc.append(dq)
-        dtlsc.append(dt_)
-
-    dqlsc = jnp.stack(dqlsc)
-    dtlsc = jnp.stack(dtlsc)
+    dqa = col(rhref) * qsat - qa
+    cond = (dqa < 0.0) & (lvl > 0.0)
+    # sequential "itop = min(k, itop) when cond" == elementwise min over hits
+    karr = jnp.arange(1, kx + 1, dtype=itop.dtype)[:, None, None]
+    hitk = jnp.where(cond, karr, jnp.asarray(kx + 1, dtype=itop.dtype))
+    itop = jnp.minimum(itop, jnp.min(hitk, axis=0))
+    dqlsc = jnp.where(cond, dqa * rtlsc, 0.0)
+    dtlsc = jnp.where(
+        cond, tfact * jnp.minimum(-dqlsc, col(dqmax) * psa2[None]), 0.0)
 
     precls = -jnp.einsum("k,kji->ji", dhs[1:] * prg, dqlsc[1:]) * psa
     return itop, precls, dtlsc, dqlsc

@@ -6,6 +6,7 @@ damping."""
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from .. import constants as pc
 
@@ -33,14 +34,12 @@ def get_vertical_diffusion_tend(geom, se, rh, qa, qsat, phi, icnv):
     fvdiq = cvdi / TRVDI
     fvdise = cvdi / (TRVDS * pc.CP)
 
-    rsig = 1.0 / dhs
+    rsig = np.asarray(1.0 / dhs)
     # rsig1[k0] = 1/(1 - sigh(k)) 1-based, needed only for k=1..nl1
-    rsig1 = 1.0 / (1.0 - sigh[1:nl1 + 1])
+    rsig1 = np.asarray(1.0 / (1.0 - sigh[1:nl1 + 1]))
+    col = lambda a: a[:, None, None]
 
-    tt = [jnp.zeros_like(se[0]) for _ in range(kx)]
-    qt = [jnp.zeros_like(se[0]) for _ in range(kx)]
-
-    # 2. shallow convection (vdiff:81-109)
+    # 2. shallow convection (vdiff:81-109): the lowest two layers only
     drh0 = RHGRAD * (fsg[kx - 1] - fsg[nl1 - 1])
     fvdiq2 = fvdiq * sigh[nl1]
     dmse = se[kx - 1] - se[nl1 - 1] + pc.ALHC * (qa[kx - 1] - qsat[nl1 - 1])
@@ -49,37 +48,49 @@ def get_vertical_diffusion_tend(geom, se, rh, qa, qsat, phi, icnv):
 
     unstable = dmse >= 0.0
     fluxse = jnp.where(unstable, fcnv * fshcse * dmse, 0.0)
-    tt[nl1 - 1] = fluxse * rsig[nl1 - 1]
-    tt[kx - 1] = -fluxse * rsig[kx - 1]
 
     moist = unstable & (drh >= 0.0)
     dry_humid = (~unstable) & (drh > drh0)
     fluxq = jnp.where(moist, fcnv * fshcq * qsat[kx - 1] * drh,
                       jnp.where(dry_humid, fvdiq2 * qsat[nl1 - 1] * drh, 0.0))
-    qt[nl1 - 1] = fluxq * rsig[nl1 - 1]
-    qt[kx - 1] = -fluxq * rsig[kx - 1]
 
-    # 3. moisture diffusion above the PBL (vdiff:111-128)
-    for k in range(3, kx - 1):  # 1-based 3..kx-2
-        k0 = k - 1
+    # one-hot level columns (fuse as multiplies; no per-level slicing)
+    row_nl1 = np.zeros((kx, 1, 1))
+    row_nl1[nl1 - 1] = 1.0
+    row_bot = np.zeros((kx, 1, 1))
+    row_bot[kx - 1] = 1.0
+    dt = se.dtype
+    tt = (row_nl1 * rsig[nl1 - 1] * fluxse[None]
+          - row_bot * rsig[kx - 1] * fluxse[None]).astype(dt)
+    qt = (row_nl1 * rsig[nl1 - 1] * fluxq[None]
+          - row_bot * rsig[kx - 1] * fluxq[None]).astype(dt)
+
+    # 3. moisture diffusion above the PBL (vdiff:111-128), level-parallel:
+    # rows 1-based k = 3..kx-2 gated statically by sigh(k) > 0.5.
+    gate = np.zeros(kx)
+    for k in range(3, kx - 1):
         if sigh[k] > 0.5:
-            drh0k = RHGRAD * (fsg[k0 + 1] - fsg[k0])
-            fvdiq2k = fvdiq * sigh[k]
-            drhk = rh[k0 + 1] - rh[k0]
-            m = drhk >= drh0k
-            fq = jnp.where(m, fvdiq2k * qsat[k0] * drhk, 0.0)
-            qt[k0] = qt[k0] + fq * rsig[k0]
-            qt[k0 + 1] = qt[k0 + 1] - fq * rsig[k0 + 1]
+            gate[k - 1] = 1.0
+    if gate.any():
+        drhk = jnp.concatenate([rh[1:] - rh[:-1], jnp.zeros_like(rh[:1])])
+        drh0k = np.concatenate([RHGRAD * (np.asarray(fsg)[1:]
+                                          - np.asarray(fsg)[:-1]), [0.0]])
+        fvdiq2k = fvdiq * np.asarray(sigh)[1:kx + 1]
+        fq = jnp.where((drhk >= col(drh0k)) & (col(gate) > 0.0),
+                       col(fvdiq2k) * qsat * drhk, 0.0)
+        # qt[k0] += fq[k0]*rsig[k0]; qt[k0+1] -= fq[k0]*rsig[k0+1]
+        dn = jnp.concatenate([jnp.zeros_like(fq[:1]), fq[:-1]])
+        qt = qt + (fq - dn) * col(rsig)
 
-    # 4. super-adiabatic lapse-rate damping (vdiff:130-145)
-    for k in range(1, kx):  # 1-based 1..nl1
-        k0 = k - 1
-        se0 = se[k0 + 1] + SEGRAD * (phi[k0] - phi[k0 + 1])
-        m = se[k0] < se0
-        fse = jnp.where(m, fvdise * (se0 - se[k0]), 0.0)
-        tt[k0] = tt[k0] + fse * rsig[k0]
-        for k1 in range(k0 + 1, kx):
-            tt[k1] = tt[k1] - fse * rsig1[k0]
+    # 4. super-adiabatic lapse-rate damping (vdiff:130-145), level-parallel:
+    # the all-levels-below redistribution is an exclusive prefix sum.
+    se0 = se[1:] + SEGRAD * (phi[:-1] - phi[1:])           # rows k0 = 0..kx-2
+    fse = jnp.where(se[:-1] < se0, fvdise * (se0 - se[:-1]), 0.0)
+    tt = tt + jnp.concatenate(
+        [fse * col(rsig[:kx - 1]), jnp.zeros_like(fse[:1])])
+    g = fse * col(rsig1)                                   # rsig1[k0], k0<=kx-2
+    tt = tt - jnp.concatenate(
+        [jnp.zeros_like(g[:1]), jnp.cumsum(g, axis=0)])
 
     zeros = jnp.zeros((kx,) + se.shape[1:], dtype=se.dtype)
-    return zeros, zeros, jnp.stack(tt), jnp.stack(qt)
+    return zeros, zeros, tt, qt

@@ -34,6 +34,10 @@ __all__ = ["Speedy", "SpeedyEns", "MODEL_STATE_DEF"]
 
 _DT_STEP = timedelta(seconds=3600 * 24 / 36)
 
+# Checkpoint (.npz) format version: bump when the stored layout of any state
+# field changes (v2: 'tr' stored as (t_levs, ntr, kx, mx, nx)).
+_CHECKPOINT_VERSION = 2
+
 # Exported for API parity with pyspeedy.speedy.MODEL_STATE_DEF
 MODEL_STATE_DEF = {
     name: {
@@ -268,16 +272,14 @@ class Speedy:
 
     # -- stepping ----------------------------------------------------------
 
-    def _get_run_fn(self):
-        if not self._run_steps_fn.get("fn"):
-            self._run_steps_fn["fn"] = M.make_run_steps_cached(self._consts)
-        return self._run_steps_fn["fn"]
-
     def _advance(self, n_steps):
-        """Advance n_steps (one jitted scan)."""
+        """Advance n_steps (one jitted scan). When the chunk is a multiple of
+        3 the scan specializes statically on the nstrad shortwave phase."""
+        phase = self._current_step % 3 if n_steps % 3 == 0 else None
+        run = M.make_run_steps_cached(self._consts, phase)
         ctx, self._cal = M.build_step_ctx(self._cal, self._current_step,
                                           n_steps)
-        self._state = self._get_run_fn()(self._state, ctx)
+        self._state = run(self._state, ctx)
         self._current_step += n_steps
         self.current_date += _DT_STEP * n_steps
 
@@ -350,6 +352,7 @@ class Speedy:
                       if isinstance(v, tuple) else np.asarray(v))
                   for k, v in self._state.items()}
         meta = dict(
+            format_version=_CHECKPOINT_VERSION,
             current_step=self._current_step,
             cal=(self._cal.year, self._cal.month, self._cal.day,
                  self._cal.hour, self._cal.minute, self._cal.month_idx),
@@ -364,6 +367,13 @@ class Speedy:
 
         with np.load(path, allow_pickle=False) as data:
             meta = ast.literal_eval(str(data["__meta__"][0]))
+            version = meta.get("format_version", 1)
+            if version != _CHECKPOINT_VERSION:
+                raise RuntimeError(
+                    f"Checkpoint format version {version} is not supported "
+                    f"(current: {_CHECKPOINT_VERSION}). Version 1 "
+                    "checkpoints stored 'tr' with a different axis order; "
+                    "regenerate the checkpoint with this version.")
             for k in self._state:
                 if k in data.files:
                     cur = self._state[k]
@@ -528,23 +538,26 @@ class SpeedyEns:
         """One vmapped scan over all members (zero member communication)."""
         import jax.numpy as _jnp
 
-        from .models.model import DYNAMIC_FIELDS
+        from .models.model import DYNAMIC_FIELDS, EPHEMERAL_FIELDS
         from .parallel.ensemble import make_run_steps_batched
 
         lead = self.members[0]
         if not hasattr(self, "_batched_run"):
             self._batched_run = {}
-        key = id(lead._consts)
+        phase = (lead._current_step % 3) if n_steps % 3 == 0 else None
+        key = (id(lead._consts), phase)
         if key not in self._batched_run:
             self._batched_run[key] = make_run_steps_batched(
-                lead._consts, donate=False)
+                lead._consts, donate=False, phase=phase)
         run = self._batched_run[key]
 
         import jax as _jax
 
         state = dict(lead._state)
         for name in list(state.keys()):
-            if name in DYNAMIC_FIELDS:
+            # Ephemeral fields are not carried across steps (model.py); they
+            # keep their single-member shapes and are dropped from the output.
+            if name in DYNAMIC_FIELDS and name not in EPHEMERAL_FIELDS:
                 state[name] = _jax.tree.map(
                     lambda *leaves: _jnp.stack(leaves),
                     *[m._state[name] for m in self.members])

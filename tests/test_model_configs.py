@@ -133,6 +133,72 @@ def test_rest_state_is_fixed_point_without_orography():
     assert drift < 1e-8, f"temperature drifted by {drift}"
 
 
+def test_runtime_flag_increase_co2():
+    """increase_co2 is a runtime state scalar (model_state_def.py:305-311):
+    the daily forcing applies the CO2 absorptivity trend (forcing.f90:67-74)
+    which feeds the longwave transmissivities and changes OLR."""
+    consts, state, cal = make_demo_model(T30L8)
+    run = M.make_run_steps(consts)
+
+    st_co2 = dict(state)
+    st_co2["increase_co2"] = np.asarray(True)
+    # 40 steps from step 2 crosses the daily forcing boundary at step 36.
+    ctx, _ = M.build_step_ctx(dataclasses.replace(cal), 2, 40)
+    out_base = run(dict(state), ctx)
+    ctx, _ = M.build_step_ctx(dataclasses.replace(cal), 2, 40)
+    out_co2 = run(st_co2, ctx)
+
+    # 6.0 * exp(0.005 * (1982.x - 1950)) ~ 7.05
+    assert float(out_co2["air_absortivity_co2"]) > 6.5
+    assert float(out_base["air_absortivity_co2"]) == pytest.approx(6.0)
+    d_olr = np.abs(np.asarray(out_co2["olr"])
+                   - np.asarray(out_base["olr"])).max()
+    assert d_olr > 0.05, "increase_co2 must change outgoing longwave"
+
+
+def test_runtime_flag_land_coupling():
+    """land_coupling_flag=False pins land temperature to the interpolated
+    climatology and freezes the slab model (land_model.f90:179-187)."""
+    consts, state, cal = make_demo_model(T30L8)
+    run = M.make_run_steps(consts)
+
+    st_off = dict(state)
+    st_off["land_coupling_flag"] = np.asarray(False)
+    stl_lm_before = np.asarray(state["stl_lm"]).copy()
+    ctx, _ = M.build_step_ctx(dataclasses.replace(cal), 2, 40)
+    out_on = run(dict(state), ctx)
+    ctx, _ = M.build_step_ctx(dataclasses.replace(cal), 2, 40)
+    out_off = run(st_off, ctx)
+
+    np.testing.assert_allclose(np.asarray(out_off["land_temp"]),
+                               np.asarray(out_off["stlcl_obs"]),
+                               rtol=0, atol=1e-12)
+    np.testing.assert_array_equal(np.asarray(out_off["stl_lm"]),
+                                  stl_lm_before)
+    d = np.abs(np.asarray(out_on["land_temp"])
+               - np.asarray(out_on["stlcl_obs"])).max()
+    assert d > 0.01, "coupled land temperature must deviate from climatology"
+
+
+def test_runtime_flag_sst_anomaly_coupling():
+    """sst_anomaly_coupling_flag gates the observed SST anomaly into
+    sstan_am/sst_am (sea_model.f90:218-222, 278-282)."""
+    consts, state, cal = make_demo_model(T30L8)
+    run = M.make_run_steps(consts)
+
+    state = dict(state)
+    state["sst_anom"] = 2.0 * np.ones_like(np.asarray(state["sst_anom"]))
+    st_off = dict(state)
+    st_off["sst_anomaly_coupling_flag"] = np.asarray(False)
+    ctx, _ = M.build_step_ctx(dataclasses.replace(cal), 2, 4)
+    out_on = run(dict(state), ctx)
+    ctx, _ = M.build_step_ctx(dataclasses.replace(cal), 2, 4)
+    out_off = run(st_off, ctx)
+
+    assert np.abs(np.asarray(out_off["sstan_am"])).max() == 0.0
+    assert np.abs(np.asarray(out_on["sstan_am"])).max() > 1.0
+
+
 @pytest.mark.parametrize("preset", ["T30L5", "T30L7", "T47L8"])
 def test_other_resolutions_run(preset):
     """Beyond the reference's fixed T30L8: other vertical/horizontal

@@ -48,7 +48,7 @@ def test_vmap_members_match_single():
     ctx, _ = M.build_step_ctx(dataclasses.replace(cal), 2, N_STEPS)
     out = run(batched, ctx)
 
-    for name in ("vor", "div", "t", "ps", "tr", "precnv", "land_temp"):
+    for name in ("vor", "div", "t", "ps", "tr", "tt_rsw", "land_temp"):
         for m in range(4):
             got = jax.tree.map(lambda a: np.asarray(a[m]), out[name])
             np.testing.assert_allclose(
@@ -72,7 +72,7 @@ def test_sharded_matches_unsharded():
     ctx2, _ = M.build_step_ctx(dataclasses.replace(cal), 2, N_STEPS)
     out = run_sh(sharded, ctx2)
 
-    for name in ("vor", "div", "t", "ps", "tr", "precnv"):
+    for name in ("vor", "div", "t", "ps", "tr", "tt_rsw"):
         np.testing.assert_allclose(
             np.asarray(out[name]), np.asarray(ref[name]),
             rtol=0, atol=1e-10, err_msg=name)

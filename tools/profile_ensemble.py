@@ -41,7 +41,7 @@ def main():
 
     consts, state, cal = make_demo_model(params)
     bstate = broadcast_state(state, n_members)
-    run = make_run_steps_batched(consts, donate=False)
+    run = make_run_steps_batched(consts, donate=False, phase=2)
 
     n_day = params.nsteps
     ctx, cal = M.build_step_ctx(cal, 2, n_day * n_days)
