@@ -18,3 +18,8 @@ jax.config.update("jax_enable_x64", True)
 # The environment's sitecustomize registers a TPU (axon) PJRT plugin and
 # force-selects it via the jax_platforms flag; pin the suite back to CPU.
 jax.config.update("jax_platforms", "cpu")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running tests (multi-process launchers)")

@@ -73,10 +73,12 @@ def main():
 
     @jax.jit
     def carry_only(d):
+        def bump(v):
+            return (v + jnp.ones((), v.dtype)
+                    if jnp.issubdtype(v.dtype, jnp.inexact) else v)
+
         def body(dd, _):
-            return {k: (v + jnp.ones((), v.dtype)
-                        if jnp.issubdtype(v.dtype, jnp.inexact) else v)
-                    for k, v in dd.items()}, None
+            return jax.tree.map(bump, dd), None
 
         out, _ = jax.lax.scan(body, d, None, length=n_steps)
         return out
