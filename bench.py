@@ -72,6 +72,26 @@ def main():
     print(f"bench: {n_steps} steps in {wall:.3f}s -> "
           f"{n_steps / wall:.1f} steps/s, {sypd:.1f} SYPD", file=sys.stderr)
 
+    # Roofline accounting (XLA cost analysis of the day-scan executable):
+    # achieved FLOP/s and HBM GB/s so optimization tracks a ceiling, not a
+    # trend line. Measured device peaks on this chip (tools/ notes):
+    # ~94 TFLOP/s bf16 matmul, ~328 GB/s sustained HBM.
+    gflops_s = hbm_gbs = None
+    try:
+        ca = run.lower(state, ctx).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        day_s = wall / n_bench_days
+        if ca and ca.get("flops"):
+            gflops_s = float(ca["flops"]) / day_s / 1e9
+        if ca and ca.get("bytes accessed"):
+            hbm_gbs = float(ca["bytes accessed"]) / day_s / 1e9
+        print(f"bench: roofline {gflops_s and round(gflops_s, 1)} GFLOP/s, "
+              f"{hbm_gbs and round(hbm_gbs, 1)} GB/s accessed",
+              file=sys.stderr)
+    except Exception as e:  # noqa: BLE001 - accounting is best-effort
+        print(f"bench: cost analysis unavailable: {e}", file=sys.stderr)
+
     # Ensemble throughput (diagnostic): 64 members, 5 days
     try:
         from pyspeedy_tpu.parallel.ensemble import (broadcast_state,
@@ -98,12 +118,17 @@ def main():
     except Exception as e:  # noqa: BLE001 - diagnostic only
         print(f"bench: ensemble bench failed: {e}", file=sys.stderr)
 
-    print(json.dumps({
+    out = {
         "metric": "SYPD_T30L8_full_physics_1member",
         "value": round(sypd, 2),
         "unit": "simulated_years_per_wallclock_day",
         "vs_baseline": round(sypd / REFERENCE_SYPD_ESTIMATE, 2),
-    }))
+    }
+    if gflops_s is not None:
+        out["achieved_gflops_per_s"] = round(gflops_s, 1)
+    if hbm_gbs is not None:
+        out["achieved_hbm_gb_per_s"] = round(hbm_gbs, 1)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -62,6 +62,10 @@ class Consts:
     # 412-418). See allocate_state for their defaults.
     sea_coupling_flag: int = 0  # compile-time in the reference (sea_model.f90:14-20)
     physics_on: bool = True
+    # Run the grid-space physics chain as one Pallas kernel over latitude
+    # tiles (all intermediates in VMEM) instead of XLA fusions. Applies only
+    # to statically shortwave-specialized steps; see physics/pallas_physics.
+    pallas_physics: bool = False
     # Concatenate all per-step transforms into single mega-batched calls.
     # A large win for single-member runs (fewer launches, bigger matmuls);
     # measured HARMFUL on the vmapped ensemble path on TPU (the concats
@@ -113,6 +117,10 @@ def build_consts(params: ModelParams, **flags) -> tuple[Consts, Geometry]:
     use_matmul = (params.fft_mode == "matmul"
                   or (params.fft_mode == "auto"
                       and jax.default_backend() != "cpu"))
+    # The Pallas physics megakernel (2-3x the XLA physics chain, bitwise
+    # identical on TPU) is the default on TPU; elsewhere the flag selects
+    # the interpreter, which is only useful for tests.
+    flags.setdefault("pallas_physics", jax.default_backend() == "tpu")
     sp = S.build_spectral(params, geom_np, use_matmul_fft=use_matmul)
     hd = build_hordif(params, geom_np)
     gp = build_geopot(params, geom_np)
@@ -260,7 +268,7 @@ def _make_device_init(consts: Consts, geom_np: Geometry):
     # First-step bootstrap: dt/2, dt (time_stepping.f90:13-27). The
     # reference's compute_shortwave flag defaults to .true.
     # (model_state.f90:780), so both bootstrap steps run shortwave.
-    ctx_true = {"compute_shortwave": jnp.asarray(True)}
+    ctx_true = {"compute_shortwave": True}  # static: bootstrap always runs SW
 
     @jax.jit
     def _boot_half(st):

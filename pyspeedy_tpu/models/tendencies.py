@@ -23,8 +23,11 @@ __all__ = ["get_tendencies"]
 
 
 def _vertical_means(dhs, fields):
-    """Sigma-mass-weighted vertical means of (kx, il, ix) fields."""
-    return [jnp.einsum("k,kji->ji", dhs, f) for f in fields]
+    """Sigma-mass-weighted vertical means of (kx, il, ix) fields.
+    Broadcast-multiply + level sum (not einsum): fuses, and Mosaic has no
+    lowering for 1-D-operand dots inside Pallas kernels."""
+    w = np.asarray(dhs)[:, None, None]
+    return [jnp.sum(w * f, axis=0) for f in fields]
 
 
 def _multi_spec2grid(sp, fields, fused):
@@ -53,6 +56,106 @@ def _half_level_flux(sigdt, df):
     boundaries: returns a (kx+1, il, ix) array."""
     zeros = jnp.zeros_like(sigdt[:1])
     return jnp.concatenate([zeros, sigdt[1:-1] * df, zeros], axis=0)
+
+
+def _prefix_cumsum(x):
+    """Prefix sums along axis 0 via log-depth shift-adds: fuses into the
+    surrounding elementwise work (jnp.cumsum is a while loop on the TPU
+    backend) and lowers inside Pallas kernels."""
+    shift = 1
+    while shift < x.shape[0]:
+        x = x + jnp.concatenate(
+            [jnp.zeros_like(x[:shift]), x[:-shift]], axis=0)
+        shift *= 2
+    return x
+
+
+def grid_dynamics_core(consts, vorg, divg, tg, trg_flat, ug0, vg0, pxy,
+                       rcos2d, coriol2d):
+    """Grid-point dynamical algebra (tendencies.f90:132-224): everything
+    between the inverse and direct transforms, column-local by construction
+    (vertical means, sigma-dot recursions, advection/energy products).
+
+    Returns (utend, vtend, ttend, trtend, psdt_g, flux_ut, flux_vt,
+    flux_qu, flux_qv, ke): the dynamics-only tendencies (physics adds come
+    after), the grid-space log-ps tendency, and the direct-transform input
+    products. Runs as plain XLA or inside the latitude-tiled Pallas kernel
+    (ops/pallas_tiling.py).
+    """
+    geom = consts.geom
+    im: ImplicitTables = consts.implicit
+    dhs = np.asarray(geom.dhs)
+    dhsr = np.asarray(geom.dhsr)[:, None, None]
+    fsgr = np.asarray(geom.fsgr)[:, None, None]
+    # Host-side column constants (3-D numpy): inside Pallas kernels, traced
+    # 1-D constants would need shape casts Mosaic cannot lower.
+    tref = np.asarray(im.tref)
+    tref3_c = np.asarray(im.tref3)[:, None, None]
+    kx = dhs.shape[0]
+    ntr = trg_flat.shape[0] // kx
+
+    ug = ug0 * rcos2d
+    vg = vg0 * rcos2d
+    px = pxy[0] * rcos2d
+    py = pxy[1] * rcos2d
+    vorg = vorg + coriol2d
+
+    umean, vmean, dmean = _vertical_means(dhs, (ug, vg, divg))
+
+    # --- log-ps tendency, grid part (tendencies.f90:144-149) ---
+    psdt_g = -umean * px - vmean * py
+
+    # --- sigma-dot vertical velocity (tendencies.f90:152-166) ---
+    # NB the reference's recursion runs through k=kx, so the bottom half
+    # level carries the accumulated sum (~ -mean(puv)), it is NOT zero.
+    puv = (ug - umean) * px + (vg - vmean) * py
+    zero2 = jnp.zeros_like(puv[:1])
+    sigdt = jnp.concatenate(
+        [zero2, -_prefix_cumsum(dhs[:, None, None] * (puv + divg - dmean))],
+        axis=0)
+    sigm = jnp.concatenate(
+        [zero2, -_prefix_cumsum(dhs[:, None, None] * puv)], axis=0)
+
+    tgg = tg - tref[:, None, None]
+
+    # --- wind tendencies (tendencies.f90:174-195) ---
+    tmp = _half_level_flux(sigdt, ug[1:] - ug[:-1])
+    utend = vg * vorg - tgg * pc.RGAS * px - (tmp[1:] + tmp[:-1]) * dhsr
+    tmp = _half_level_flux(sigdt, vg[1:] - vg[:-1])
+    vtend = -ug * vorg - tgg * pc.RGAS * py - (tmp[1:] + tmp[:-1]) * dhsr
+
+    # --- temperature tendency (tendencies.f90:197-210) ---
+    tmp = _half_level_flux(sigdt, tgg[1:] - tgg[:-1]) \
+        + _half_level_flux(sigm, (tref[1:] - tref[:-1])[:, None, None]
+                           * jnp.ones_like(sigm[1:-1]))
+    ttend = (tgg * divg - (tmp[1:] + tmp[:-1]) * dhsr
+             + fsgr * tgg * (sigdt[1:] + sigdt[:-1])
+             + tref3_c * (sigm[1:] + sigm[:-1])
+             + pc.AKAP * (tg * puv - tgg * dmean))
+
+    # --- tracer tendencies (tendencies.f90:212-224) ---
+    # The reference zeroes the vertical tracer flux at the top two interior
+    # half levels (temp(:,:,2:3) = 0, tendencies.f90:218).
+    trmask = np.ones((kx + 1, 1, 1))
+    trmask[1:3] = 0.0
+    trmask = jnp.asarray(trmask, dtype=vorg.dtype)
+
+    def tracer_tend(q):
+        tmp = _half_level_flux(sigdt, q[1:] - q[:-1]) * trmask
+        return q * divg - (tmp[1:] + tmp[:-1]) * dhsr
+
+    trg_list = [trg_flat[i * kx:(i + 1) * kx] for i in range(ntr)]
+    trtend = jnp.concatenate([tracer_tend(q) for q in trg_list], axis=0)
+
+    # --- direct-transform input products (tendencies.f90:238-268) ---
+    flux_ut = -ug * tgg * rcos2d
+    flux_vt = -vg * tgg * rcos2d
+    flux_qu = jnp.concatenate([-ug * q * rcos2d for q in trg_list], axis=0)
+    flux_qv = jnp.concatenate([-vg * q * rcos2d for q in trg_list], axis=0)
+    ke = 0.5 * (ug**2 + vg**2)
+
+    return (utend, vtend, ttend, trtend, psdt_g, flux_ut, flux_vt,
+            flux_qu, flux_qv, ke)
 
 
 def get_grid_point_tendencies(consts, state, j2: int, physics_fn=None, ctx=None):
@@ -91,63 +194,32 @@ def get_grid_point_tendencies(consts, state, j2: int, physics_fn=None, ctx=None)
          ucos, vcos, jnp.stack([psdx, psdy])],
         consts.fuse_transforms)
 
-    trg = trg_flat.reshape((ntr, kx) + vorg.shape[-2:])
     rcos = sp.cosgr[:, None]
     # Mask that zeroes the (0,0) spectral mean — a fused multiply instead of
     # a scattered .at[0,0].set(0) (dynamic-update-slice is a hot launch cost)
     not00 = np.ones((vor.shape[-2], vor.shape[-1]))
     not00[0, 0] = 0.0
     not00 = jnp.asarray(not00, dtype=vorg.dtype)
-    ug = ug * rcos
-    vg = vg * rcos
-    px = pxy[0] * rcos
-    py = pxy[1] * rcos
-    vorg = vorg + geom.coriol[None, :, None]
 
-    umean, vmean, dmean = _vertical_means(dhs, (ug, vg, divg))
+    rcos2d = jnp.broadcast_to(jnp.asarray(rcos, dtype=vorg.dtype),
+                              vorg.shape[-2:])
+    coriol2d = jnp.broadcast_to(
+        jnp.asarray(geom.coriol[:, None], dtype=vorg.dtype),
+        vorg.shape[-2:])
+    core_args = (vorg, divg, tg, trg_flat, ug, vg, pxy, rcos2d, coriol2d)
+    if consts.pallas_physics:
+        from ..ops.pallas_tiling import tiled_columnwise
+        core = tiled_columnwise(
+            lambda *a: grid_dynamics_core(consts, *a), core_args,
+            vorg.shape[-2])
+    else:
+        core = grid_dynamics_core(consts, *core_args)
+    (utend, vtend, ttend, trtend_flat, psdt_g, flux_ut, flux_vt,
+     flux_qu, flux_qv, ke) = core
+    trtend = trtend_flat.reshape((ntr, kx) + vorg.shape[-2:])
 
     # --- log-ps tendency (tendencies.f90:144-149) ---
-    psdt = S.grid2spec(sp, -umean * px - vmean * py) * not00
-
-    # --- sigma-dot vertical velocity (tendencies.f90:152-166) ---
-    # NB the reference's recursion runs through k=kx, so the bottom half
-    # level carries the accumulated sum (~ -mean(puv)), it is NOT zero.
-    puv = (ug - umean) * px + (vg - vmean) * py
-    zero2 = jnp.zeros_like(puv[:1])
-    sigdt = jnp.concatenate(
-        [zero2, -jnp.cumsum(dhs[:, None, None] * (puv + divg - dmean), axis=0)], axis=0)
-    sigm = jnp.concatenate(
-        [zero2, -jnp.cumsum(dhs[:, None, None] * puv, axis=0)], axis=0)
-
-    tgg = tg - tref[:, None, None]
-
-    # --- wind tendencies (tendencies.f90:174-195) ---
-    tmp = _half_level_flux(sigdt, ug[1:] - ug[:-1])
-    utend = vg * vorg - tgg * pc.RGAS * px - (tmp[1:] + tmp[:-1]) * dhsr
-    tmp = _half_level_flux(sigdt, vg[1:] - vg[:-1])
-    vtend = -ug * vorg - tgg * pc.RGAS * py - (tmp[1:] + tmp[:-1]) * dhsr
-
-    # --- temperature tendency (tendencies.f90:197-210) ---
-    tmp = _half_level_flux(sigdt, tgg[1:] - tgg[:-1]) \
-        + _half_level_flux(sigm, (tref[1:] - tref[:-1])[:, None, None]
-                           * jnp.ones_like(sigm[1:-1]))
-    ttend = (tgg * divg - (tmp[1:] + tmp[:-1]) * dhsr
-             + fsgr * tgg * (sigdt[1:] + sigdt[:-1])
-             + im.tref3[:, None, None] * (sigm[1:] + sigm[:-1])
-             + pc.AKAP * (tg * puv - tgg * dmean))
-
-    # --- tracer tendencies (tendencies.f90:212-224) ---
-    # The reference zeroes the vertical tracer flux at the top two interior
-    # half levels (temp(:,:,2:3) = 0, tendencies.f90:218).
-    trmask = np.ones((kx + 1, 1, 1))
-    trmask[1:3] = 0.0
-    trmask = jnp.asarray(trmask, dtype=vorg.dtype)
-
-    def tracer_tend(q):
-        tmp = _half_level_flux(sigdt, q[1:] - q[:-1]) * trmask
-        return q * divg - (tmp[1:] + tmp[:-1]) * dhsr
-
-    trtend = jnp.stack([tracer_tend(trg[i]) for i in range(trg.shape[0])])
+    psdt = S.grid2spec(sp, psdt_g) * not00
 
     # --- physics (tendencies.f90:229-232) ---
     state = dict(state)
@@ -159,10 +231,10 @@ def get_grid_point_tendencies(consts, state, j2: int, physics_fn=None, ctx=None)
     # --- back to spectral (tendencies.f90:238-268) ---
     # Direct transforms of every outgoing field: the wind/flux pairs (scaled
     # by 1/cos as in grid_vel2vort's kcos=2) plus the scalar tendencies.
-    inputs = [utend * rcos, vtend * rcos, -ug * tgg * rcos, -vg * tgg * rcos]
+    inputs = [utend * rcos, vtend * rcos, flux_ut, flux_vt]
     for i in range(ntr):
-        inputs += [-ug * trg[i] * rcos, -vg * trg[i] * rcos]
-    inputs += [0.5 * (ug**2 + vg**2), ttend]
+        inputs += [flux_qu[i * kx:(i + 1) * kx], flux_qv[i * kx:(i + 1) * kx]]
+    inputs += [ke, ttend]
     inputs += [trtend[i] for i in range(ntr)]
     specs = _multi_grid2spec(sp, inputs, consts.fuse_transforms)
 

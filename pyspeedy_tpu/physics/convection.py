@@ -31,8 +31,19 @@ SMF = 0.8      # secondary/primary cloud-base mass-flux ratio
 
 
 def _rev_cumsum(x):
-    """Suffix sums along axis 0: out[k] = sum_{j >= k} x[j]."""
-    return jnp.flip(jnp.cumsum(jnp.flip(x, 0), 0), 0)
+    """Suffix sums along axis 0: out[k] = sum_{j >= k} x[j].
+
+    Log-depth shift-adds instead of jnp.cumsum: on the TPU backend cumsum
+    lowers to a while loop (unfusable); three shifted adds fuse into the
+    surrounding elementwise work, and the same code lowers inside Pallas
+    kernels (Mosaic has no cumsum/flip)."""
+    n = x.shape[0]
+    shift = 1
+    while shift < n:
+        x = x + jnp.concatenate(
+            [x[shift:], jnp.zeros_like(x[:shift])], axis=0)
+        shift *= 2
+    return x
 
 
 def diagnose_convection(geom, psa, se, qa, qsat):
@@ -64,8 +75,10 @@ def diagnose_convection(geom, psa, se, qa, qsat):
         ktop2 = jnp.full_like(psa, big)
         msthr = jnp.zeros_like(psa)
     else:
-        w1 = np.asarray(wvi)[k0s, 1][:, None, None]
-        mss2 = mss[k0s] + w1 * (mss[k0s + 1] - mss[k0s])
+        # contiguous slices, not index gathers (fuses; Pallas-compatible)
+        lo, hi = 2, kx - 3
+        w1 = np.asarray(wvi)[lo:hi, 1][:, None, None]
+        mss2 = mss[lo:hi] + w1 * (mss[lo + 1:hi + 1] - mss[lo:hi])
         ks = jnp.asarray((k0s + 1)[:, None, None], dtype=psa.dtype)
 
         big = float(kx)
@@ -135,7 +148,8 @@ def get_convection_tendencies(geom, psa, se, qa, qsat):
     # the sequential updates become bottom-up cumulative sums ("after" = the
     # value just after this level's update; "before" = the level below's
     # "after", with the boundary layer at the bottom).
-    karr = jnp.arange(1, kx + 1, dtype=jnp.int32)[:, None, None]  # 1-based
+    # host-side constant (numpy, not a traced iota — Pallas/Mosaic friendly)
+    karr = np.arange(1, kx + 1, dtype=np.int32)[:, None, None]  # 1-based
     interm = (karr >= 3) & (karr <= kx - 1)
     m = active[None] & (karr > itop[None]) & interm
 

@@ -1,9 +1,15 @@
 """Column-physics driver (reference: speedy.f90/physics.f90).
 
 Sequencing matches physics.f90:14-256: convection -> large-scale condensation
--> shortwave (every nstrad steps, via lax.cond, with absorbed fluxes and LW
-transmissivities cached in the state) -> longwave down -> surface fluxes ->
-longwave up -> vertical diffusion -> surface-flux tendencies -> SPPT.
+-> shortwave (every nstrad steps, with absorbed fluxes and LW transmissivities
+cached in the state) -> longwave down -> surface fluxes -> longwave up ->
+vertical diffusion -> surface-flux tendencies -> SPPT.
+
+Structure: `grid_physics` is the whole grid-space physics chain as a pure
+function of explicit arrays (no state dict) — column-local by construction,
+so it can run either as plain XLA or as a single Pallas kernel over latitude
+tiles (physics/pallas_physics.py) where every intermediate stays in VMEM.
+`get_physical_tendencies` is the state-dict glue around it.
 """
 
 from __future__ import annotations
@@ -23,43 +29,54 @@ from . import vertical_diffusion as vdif
 from .humidity import spec_hum_to_rel_hum
 from .sppt import gen_sppt
 
-__all__ = ["get_physical_tendencies"]
+__all__ = ["get_physical_tendencies", "grid_physics", "BC_FIELDS",
+           "CACHE_FIELDS", "DIAG_FIELDS"]
+
+# 2D boundary/forcing fields consumed by the grid physics (read-only here).
+BC_FIELDS = (
+    "fmask_land", "phis0", "forog", "sst_am", "alb_land", "alb_sea",
+    "alb_surface", "snowc", "land_temp", "soil_avail_water",
+    "zenit_correction", "flux_solar_in", "flux_ozone_upper",
+    "flux_ozone_lower", "stratospheric_correction", "ssti_om",
+)
+
+# The nstrad shortwave cache: read on every step, rewritten on SW steps.
+CACHE_FIELDS = ("tt_rsw", "rad_tau2", "rad_strat_corr", "tsr", "ssrd",
+                "ssr", "qcloud_equiv")
+
+# Per-step diagnostics written back into the state.
+DIAG_FIELDS = ("cbmf", "precnv", "precls", "slrd", "slr", "olr",
+               "ustr", "vstr", "shf", "evap", "slru", "hfluxn",
+               "rad_flux", "rad_st4a")
 
 
-def get_physical_tendencies(consts, state, ctx, utend, vtend, ttend, trtend):
-    """Add physics tendencies at time level 0 (physics.f90:14-256).
+def grid_physics(consts, sw_flag, ug, vg, tg, qg, phig, pslg, bc, cache,
+                 ablco2, coa2d=None):
+    """The full grid-space physics chain (physics.f90:107-232) on explicit
+    arrays. Returns (utend, vtend, ttend, qtend, diag, new_cache) where the
+    tendencies are the PHYSICS-ONLY contributions (added to the dynamics
+    tendencies by the caller) and diag/new_cache are tuples ordered as
+    DIAG_FIELDS / CACHE_FIELDS.
 
-    ctx["compute_shortwave"] is a traced bool selecting the cached-vs-fresh
-    shortwave branch. Returns (utend, vtend, ttend, trtend, state).
+    sw_flag: Python bool (statically specialized step) or traced bool
+    (lax.cond). All operations are column-local: elementwise over (il, ix)
+    with reductions only along the level/band axes — the precondition for
+    the Pallas tiled execution.
     """
-    sp = consts.sp
     geom = consts.geom
     params = consts.params
     kx = params.kx
-
-    utend_dyn, vtend_dyn, ttend_dyn, qtend_dyn = utend, vtend, ttend, trtend[0]
-    qtend = trtend[0]
-
-    # --- prognostics to grid at time level 0 (physics.f90:89-101) ---
-    from ..models.tendencies import _multi_spec2grid
-
-    ucos, vcos = S.vort2vel(sp, state["vor"][0], state["div"][0])
-    ug, vg, tg, qg, phig, pslg1 = _multi_spec2grid(
-        sp,
-        [ucos, vcos, state["t"][0], state["tr"][0][0], state["phi"],
-         state["ps"][0][None]],
-        consts.fuse_transforms)
-    rcos = sp.cosgr[:, None]
-    ug = ug * rcos
-    vg = vg * rcos
-    pslg = pslg1[0]
+    (fmask_land, phis0, forog, sst_am, alb_land, alb_sea, alb_surface,
+     snowc, land_temp, soil_avail_water, zenit_correction, flux_solar_in,
+     flux_ozone_upper, flux_ozone_lower, stratospheric_correction,
+     ssti_om) = bc
+    tt_rsw_c, rad_tau2_c, rad_sc_c, tsr_c, ssrd_c, ssr_c, qcloud_c = cache
 
     # --- thermodynamics (physics.f90:107-116) ---
     psg = jnp.exp(pslg)
     rps = 1.0 / psg
     qg = jnp.maximum(qg, 0.0)
     se = pc.CP * tg + phig
-    # whole-column vectorized: sigma enters as a broadcast (kx, 1, 1) column
     rh, qsat = spec_hum_to_rel_hum(tg, psg, geom.fsg[:, None, None], qg)
 
     # --- deep convection (physics.f90:123-132) ---
@@ -80,20 +97,25 @@ def get_physical_tendencies(consts, state, ctx, utend, vtend, ttend, trtend):
     iptop, precls, tt_lsc, qt_lsc = lsc.get_large_scale_condensation_tendencies(
         geom, psg, qg, qsat, iptop)
 
-    ttend = ttend + tt_cnv + tt_lsc
-    qtend = qtend + qt_cnv + qt_lsc
-
-    state = dict(state)
-    state["cbmf"] = cbmf
-    state["precnv"] = precnv
-    state["precls"] = precls
+    ttend = tt_cnv + tt_lsc
+    qtend = qt_cnv + qt_lsc
 
     # --- shortwave (every nstrad steps; physics.f90:151-169) ---
+    sw_state = {
+        "zenit_correction": zenit_correction,
+        "flux_solar_in": flux_solar_in,
+        "flux_ozone_upper": flux_ozone_upper,
+        "flux_ozone_lower": flux_ozone_lower,
+        "alb_surface": alb_surface,
+        "stratospheric_correction": stratospheric_correction,
+        "air_absortivity_co2": ablco2,
+    }
+
     def sw_branch(_):
         gse = (se[kx - 2] - se[kx - 1]) / (phig[kx - 2] - phig[kx - 1])
         icltop, cloudc, clstr, qcloud = sw.clouds(
-            qg, rh, precnv, precls, iptop, gse, state["fmask_land"])
-        st = dict(state)
+            qg, rh, precnv, precls, iptop, gse, fmask_land)
+        st = dict(sw_state)
         st["qcloud_equiv"] = qcloud
         tsr, ssrd, ssr, tt_flux, rad_tau2, rad_sc = sw.get_shortwave_rad_fluxes(
             geom, st, psg, qg, icltop, cloudc, clstr)
@@ -101,80 +123,118 @@ def get_physical_tendencies(consts, state, ctx, utend, vtend, ttend, trtend):
         return tt_rsw, rad_tau2, rad_sc, tsr, ssrd, ssr, qcloud
 
     def cached_branch(_):
-        return (state["tt_rsw"], state["rad_tau2"], state["rad_strat_corr"],
-                state["tsr"], state["ssrd"], state["ssr"],
-                state["qcloud_equiv"])
+        return (tt_rsw_c, rad_tau2_c, rad_sc_c, tsr_c, ssrd_c, ssr_c,
+                qcloud_c)
 
-    # The nstrad=3 cadence is deterministic, so the scan builders specialize
-    # the step on a static phase where possible (a Python bool here): the
-    # cond disappears and the big rad_tau2/tt_rsw caches flow straight
-    # through instead of being copied through conditional outputs each step.
-    sw_flag = ctx["compute_shortwave"]
+    # Statically-specialized steps (the nstrad=3 cadence is deterministic)
+    # skip the cond entirely: the radiation caches flow straight through.
     if isinstance(sw_flag, bool):
         tt_rsw, rad_tau2, rad_sc, tsr, ssrd, ssr, qcloud = (
             sw_branch(None) if sw_flag else cached_branch(None))
     else:
         tt_rsw, rad_tau2, rad_sc, tsr, ssrd, ssr, qcloud = jax.lax.cond(
             sw_flag, sw_branch, cached_branch, None)
-    state.update(tt_rsw=tt_rsw, rad_tau2=rad_tau2, rad_strat_corr=rad_sc,
-                 tsr=tsr, ssrd=ssrd, ssr=ssr, qcloud_equiv=qcloud)
 
     # --- longwave downward (physics.f90:172-174) ---
     fband = consts.fband
     slrd, tt_rlw, rad_flux, rad_st4a = lw.get_downward_longwave_rad_fluxes(
         geom, fband, rad_tau2, tg)
-    state["slrd"] = slrd
-    state["rad_flux"] = rad_flux
-    state["rad_st4a"] = rad_st4a
 
     # --- surface fluxes (physics.f90:177-198) ---
     fl = sflx.get_surface_fluxes(
         geom, psg, ug, vg, tg, qg, rh, phig,
-        state["phis0"], state["fmask_land"], state["forog"], state["sst_am"],
-        ssrd, slrd, state["alb_land"], state["alb_sea"], state["snowc"],
-        state["land_temp"], state["soil_avail_water"], lfluxland=True)
+        phis0, fmask_land, forog, sst_am,
+        ssrd, slrd, alb_land, alb_sea, snowc,
+        land_temp, soil_avail_water, lfluxland=True, coa2d=coa2d)
     if consts.sea_coupling_flag > 0:
+        # second, sea-only call with the ocean-model SST (physics.f90:186-195)
         fl = sflx.get_surface_fluxes(
             geom, psg, ug, vg, tg, qg, rh, phig,
-            state["phis0"], state["fmask_land"], state["forog"],
-            state["ssti_om"], ssrd, slrd, state["alb_land"],
-            state["alb_sea"], state["snowc"], state["land_temp"],
-            state["soil_avail_water"], lfluxland=False, prev=fl["_carry"])
+            phis0, fmask_land, forog, ssti_om,
+            ssrd, slrd, alb_land, alb_sea, snowc,
+            land_temp, soil_avail_water, lfluxland=False, prev=fl["_carry"],
+            coa2d=coa2d)
     hfluxn3 = jnp.concatenate(
         [fl["hfluxn"], jnp.zeros_like(fl["hfluxn"][:1])])
-    state.update(ustr=fl["ustr"], vstr=fl["vstr"], shf=fl["shf"],
-                 evap=fl["evap"], slru=fl["slru"], hfluxn=hfluxn3)
 
     # --- longwave upward (physics.f90:202-211) ---
     fsfc, ftop, tt_rlw = lw.get_upward_longwave_rad_fluxes(
         geom, fband, rad_tau2, rad_st4a, rad_sc, tg, fl["tsfc"], slrd,
         fl["slru"][2], tt_rlw, rad_flux)
-    state["slr"] = fsfc
-    state["olr"] = ftop
     tt_rlw = tt_rlw * scale_t
 
     ttend = ttend + tt_rsw + tt_rlw
 
     # --- vertical diffusion + shallow convection (physics.f90:218-220) ---
-    ut_pbl, vt_pbl, tt_pbl, qt_pbl = vdif.get_vertical_diffusion_tend(
+    utend, vtend, tt_pbl, qt_pbl = vdif.get_vertical_diffusion_tend(
         geom, se, rh, qg, qsat, phig, icnv)
 
     # surface-flux tendencies into the lowest layer (physics.f90:223-226),
     # fused one-hot adds instead of scattered updates
     bot = np.zeros((kx, 1, 1))
     bot[kx - 1] = 1.0
-    bot = jnp.asarray(bot, dtype=ut_pbl.dtype)
+    bot = jnp.asarray(bot, dtype=ttend.dtype)
     gsig = rps * geom.grdsig[kx - 1]
     gscp = rps * geom.grdscp[kx - 1]
-    ut_pbl = ut_pbl + bot * (fl["ustr"][2] * gsig)
-    vt_pbl = vt_pbl + bot * (fl["vstr"][2] * gsig)
-    tt_pbl = tt_pbl + bot * (fl["shf"][2] * gscp)
-    qt_pbl = qt_pbl + bot * (fl["evap"][2] * gsig)
+    utend = utend + bot * (fl["ustr"][2] * gsig)
+    vtend = vtend + bot * (fl["vstr"][2] * gsig)
+    ttend = ttend + tt_pbl + bot * (fl["shf"][2] * gscp)
+    qtend = qtend + qt_pbl + bot * (fl["evap"][2] * gsig)
 
-    utend = utend + ut_pbl
-    vtend = vtend + vt_pbl
-    ttend = ttend + tt_pbl
-    qtend = qtend + qt_pbl
+    diag = (cbmf, precnv, precls, slrd, fsfc, ftop,
+            fl["ustr"], fl["vstr"], fl["shf"], fl["evap"], fl["slru"],
+            hfluxn3, rad_flux, rad_st4a)
+    new_cache = (tt_rsw, rad_tau2, rad_sc, tsr, ssrd, ssr, qcloud)
+    return utend, vtend, ttend, qtend, diag, new_cache
+
+
+def get_physical_tendencies(consts, state, ctx, utend, vtend, ttend, trtend):
+    """Add physics tendencies at time level 0 (physics.f90:14-256).
+
+    ctx["compute_shortwave"] selects the cached-vs-fresh shortwave branch
+    (a Python bool in phase-specialized scans). Returns
+    (utend, vtend, ttend, trtend, state)."""
+    sp = consts.sp
+    params = consts.params
+
+    utend_dyn, vtend_dyn, ttend_dyn, qtend_dyn = utend, vtend, ttend, trtend[0]
+
+    # --- prognostics to grid at time level 0 (physics.f90:89-101) ---
+    from ..models.tendencies import _multi_spec2grid
+
+    ucos, vcos = S.vort2vel(sp, state["vor"][0], state["div"][0])
+    ug, vg, tg, qg, phig, pslg1 = _multi_spec2grid(
+        sp,
+        [ucos, vcos, state["t"][0], state["tr"][0][0], state["phi"],
+         state["ps"][0][None]],
+        consts.fuse_transforms)
+    rcos = sp.cosgr[:, None]
+    ug = ug * rcos
+    vg = vg * rcos
+    pslg = pslg1[0]
+
+    bc = tuple(state[name] for name in BC_FIELDS)
+    cache = tuple(state[name] for name in CACHE_FIELDS)
+    sw_flag = ctx["compute_shortwave"]
+
+    if consts.pallas_physics and isinstance(sw_flag, bool):
+        from .pallas_physics import grid_physics_pallas
+        ut, vt, tt, qt, diag, new_cache = grid_physics_pallas(
+            consts, sw_flag, ug, vg, tg, qg, phig, pslg, bc, cache,
+            state["air_absortivity_co2"])
+    else:
+        ut, vt, tt, qt, diag, new_cache = grid_physics(
+            consts, sw_flag, ug, vg, tg, qg, phig, pslg, bc, cache,
+            state["air_absortivity_co2"])
+
+    state = dict(state)
+    state.update(zip(DIAG_FIELDS, diag))
+    state.update(zip(CACHE_FIELDS, new_cache))
+
+    utend = utend + ut
+    vtend = vtend + vt
+    ttend = ttend + tt
+    qtend = trtend[0] + qt
 
     # --- SPPT multiplicative noise on the physics increment
     #     (physics.f90:234-248) ---

@@ -43,12 +43,13 @@ def get_large_scale_condensation_tendencies(geom, psa, qa, qsat, itop):
     dqa = col(rhref) * qsat - qa
     cond = (dqa < 0.0) & (lvl > 0.0)
     # sequential "itop = min(k, itop) when cond" == elementwise min over hits
-    karr = jnp.arange(1, kx + 1, dtype=itop.dtype)[:, None, None]
-    hitk = jnp.where(cond, karr, jnp.asarray(kx + 1, dtype=itop.dtype))
+    karr = np.arange(1, kx + 1, dtype=np.int32)[:, None, None]
+    hitk = jnp.where(cond, karr, np.int32(kx + 1))
     itop = jnp.minimum(itop, jnp.min(hitk, axis=0))
     dqlsc = jnp.where(cond, dqa * rtlsc, 0.0)
     dtlsc = jnp.where(
         cond, tfact * jnp.minimum(-dqlsc, col(dqmax) * psa2[None]), 0.0)
 
-    precls = -jnp.einsum("k,kji->ji", dhs[1:] * prg, dqlsc[1:]) * psa
+    wcol = (np.asarray(dhs)[1:] * prg)[:, None, None]
+    precls = -jnp.sum(wcol * dqlsc[1:], axis=0) * psa
     return itop, precls, dtlsc, dqlsc

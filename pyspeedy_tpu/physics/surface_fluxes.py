@@ -52,7 +52,8 @@ def _stability_factor(tsurf, t2):
 
 def get_surface_fluxes(geom, psa, ua, va, ta, qa, rh, phi, phi0, fmask, forog,
                        tsea, ssrd, slrd, alb_land, alb_sea, snowc, land_temp,
-                       soil_avail_water, lfluxland=True, prev=None):
+                       soil_avail_water, lfluxland=True, prev=None,
+                       coa2d=None):
     """Compute surface fluxes (surface_fluxes.f90:40-320).
 
     Returns a dict with ustr/vstr/shf/evap/slru (each (3, il, ix)), hfluxn
@@ -65,7 +66,10 @@ def get_surface_fluxes(geom, psa, ua, va, ta, qa, rh, phi, phi0, fmask, forog,
     wvi = geom.wvi
     esbc = pc.EMISFC * pc.SBC
     rcp = 1.0 / pc.CP
-    coa = geom.coa[:, None]
+    # cos(lat) for the daily-cycle skin-temperature term; passed explicitly
+    # (coa2d) when running inside a latitude-tiled Pallas kernel, where the
+    # full-latitude geometry profile cannot be baked in.
+    coa = geom.coa[:, None] if coa2d is None else coa2d
 
     if lfluxland:
         # 1. near-surface extrapolation (surface_fluxes.f90:117-160)

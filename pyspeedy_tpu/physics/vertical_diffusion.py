@@ -89,8 +89,14 @@ def get_vertical_diffusion_tend(geom, se, rh, qa, qsat, phi, icnv):
     tt = tt + jnp.concatenate(
         [fse * col(rsig[:kx - 1]), jnp.zeros_like(fse[:1])])
     g = fse * col(rsig1)                                   # rsig1[k0], k0<=kx-2
-    tt = tt - jnp.concatenate(
-        [jnp.zeros_like(g[:1]), jnp.cumsum(g, axis=0)])
+    # prefix sums via log-depth shift-adds (cumsum is a while loop on TPU)
+    csum = g
+    shift = 1
+    while shift < csum.shape[0]:
+        csum = csum + jnp.concatenate(
+            [jnp.zeros_like(csum[:shift]), csum[:-shift]], axis=0)
+        shift *= 2
+    tt = tt - jnp.concatenate([jnp.zeros_like(g[:1]), csum])
 
     zeros = jnp.zeros((kx,) + se.shape[1:], dtype=se.dtype)
     return zeros, zeros, tt, qt

@@ -43,6 +43,38 @@ def test_dynamics_only_240_steps():
     assert 200.0 < t_mean < 320.0
 
 
+def test_dynamics_only_240_step_self_fixture():
+    """Pinned physics-off trajectory (tests/fixtures/dynamics_only_240.npz,
+    f64, synthetic BCs): isolates dynamical-core regressions from the
+    SST-anomaly floor in the reference-fixture comparisons. rtol 1e-8 leaves
+    room only for benign compiler reassociation."""
+    import os
+    from datetime import datetime
+    from pyspeedy_tpu.utils.calendar import ModelCalendar
+
+    params = T30L8
+    consts, geom_np = M.build_consts(params, physics_on=False)
+    host_bc = synthetic_host_bc(params, geom_np)
+    host_bc["_geom_np"] = geom_np
+    state = M.allocate_state(params, n_months=1)
+    cal = ModelCalendar.from_datetime(datetime(1982, 1, 1),
+                                      nsteps=params.nsteps)
+    state = M.initialize(consts, state, host_bc, cal)
+    run = M.make_run_steps(consts)
+    ctx, _ = M.build_step_ctx(cal, 2, 240)
+    out = run(state, ctx)
+
+    fix = np.load(os.path.join(os.path.dirname(__file__), "fixtures",
+                               "dynamics_only_240.npz"))
+    got = {"vor": out["vor"][0], "div": out["div"][0], "t": out["t"][0],
+           "ps": out["ps"][0], "q": out["tr"][0][0]}
+    for name, arr in got.items():
+        a = np.asarray(arr)
+        b = fix[name]
+        scale = np.abs(b).max()
+        assert np.abs(a - b).max() / scale < 1e-8, name
+
+
 def test_sppt_ensemble_spread():
     """SPPT on: two members with different RNG keys diverge; the pattern is
     bounded by the clipping (sppt.f90:106) and the AR(1) state persists."""

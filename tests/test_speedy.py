@@ -75,9 +75,17 @@ def test_against_reference_repo_fixtures(day, file_name):
     push beyond the SST floor are caught."""
     ref = open_dataset(os.path.join(REF_FIXTURE_DIR, file_name))
     mine = open_dataset(os.path.join(FIXTURE_DIR, file_name))
-    limits_rms = {"u": 0.035, "v": 0.04, "t": 1.5e-3, "q": 1.2e-2,
-                  "phi": 5e-4, "ps": 1.5e-3}
-    for v, lim in limits_rms.items():
+    # Per-day limits at ~1.4x the measured SSTA-floor residual (day 1:
+    # u 0.0129, v 0.0157; day 3: u 0.0223, v 0.0281 — zero anomalies vs the
+    # reference's missing anomaly dataset), so a dynamics regression that
+    # pushes past the floor fails instead of hiding under a shared bound.
+    limits_by_day = {
+        1: {"u": 0.018, "v": 0.022, "t": 6.5e-4, "q": 8e-3,
+            "phi": 1.6e-4, "ps": 5.5e-4},
+        3: {"u": 0.032, "v": 0.040, "t": 9.5e-4, "q": 8e-3,
+            "phi": 2.3e-4, "ps": 8.5e-4},
+    }
+    for v, lim in limits_by_day[day].items():
         a = np.asarray(mine[v].data, np.float64).squeeze()
         b = np.asarray(ref[v].data, np.float64).squeeze()
         scale = np.abs(b).max()
