@@ -233,6 +233,9 @@ def _make_device_init(consts: Consts, geom_np: Geometry):
     if key in _DEVICE_INIT_CACHE:
         return _DEVICE_INIT_CACHE[key]
 
+    # Initialization runs at batch=1: the XLA path wins there (see
+    # make_run_steps).
+    consts = dataclasses.replace(consts, pallas_physics=False)
     params = consts.params
     sp = consts.sp
     im_half = build_implicit(params, geom_np, consts.hd, 0.5 * params.delt)
@@ -433,7 +436,13 @@ def make_run_steps(consts: Consts, phase: int | None = None):
     phase: current_step % 3 at the first step of the scan. When given, the
     scan runs over triples of steps with the shortwave flag specialized
     statically per position (requires n_steps % 3 == 0); when None, every
-    step carries a traced flag through lax.cond."""
+    step carries a traced flag through lax.cond.
+
+    The Pallas megakernels only pay off at ensemble batch sizes (at batch=1
+    the step is launch-bound and the kernels add launches), so the
+    single-member integrator always runs the XLA path; the batched runner
+    (parallel/ensemble.py) keeps the consts flag."""
+    consts = dataclasses.replace(consts, pallas_physics=False)
     if phase is None:
         single_step = make_single_step(consts)
 

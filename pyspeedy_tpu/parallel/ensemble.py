@@ -36,7 +36,8 @@ def broadcast_state(state: dict, n_members: int) -> dict:
 
 
 def make_run_steps_batched(consts, mesh=None, shard_space: bool = True,
-                           donate: bool = True, phase: int | None = None):
+                           donate: bool = True, phase: int | None = None,
+                           fuse_transforms: bool = False):
     """Jitted n-step integrator over a member-batched state (leading member
     axis on DYNAMIC_FIELDS only). When a mesh is given, the state is
     constrained to the ensemble/space sharding layout.
@@ -47,8 +48,9 @@ def make_run_steps_batched(consts, mesh=None, shard_space: bool = True,
     import dataclasses
 
     # Per-field transforms batch well already under vmap; the fused
-    # mega-concat variant regresses the batched path on TPU (see Consts).
-    consts = dataclasses.replace(consts, fuse_transforms=False)
+    # mega-concat variant regressed the batched path on TPU in round-1
+    # profiling (see Consts), so it stays opt-in here.
+    consts = dataclasses.replace(consts, fuse_transforms=fuse_transforms)
 
     # Carry only fields whose previous-step value is actually consumed;
     # EPHEMERAL_FIELDS are recomputed before use every step (see model.py).

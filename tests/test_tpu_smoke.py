@@ -1,0 +1,31 @@
+"""Wrapper for the TPU-vs-CPU f32 numerics smoke test (tools/tpu_smoke.py).
+
+The suite itself pins the CPU backend (conftest), so the smoke test runs in
+a subprocess with the environment's default (TPU) backend; skipped when no
+TPU is attached."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.mark.slow
+def test_tpu_vs_cpu_f32_day_drift():
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("XLA_FLAGS", None)
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "tpu_smoke.py")],
+        capture_output=True, text=True, env=env, timeout=1200)
+    if r.returncode == 2:
+        pytest.skip("no TPU attached")
+    line = next((ln for ln in r.stdout.splitlines() if ln.startswith("{")),
+                "{}")
+    res = json.loads(line)
+    assert r.returncode == 0, f"smoke test failed: {res}\n{r.stderr[-1500:]}"
+    assert res["ok"] is True
