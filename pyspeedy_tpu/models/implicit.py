@@ -163,6 +163,18 @@ def build_implicit(params: ModelParams, geom: Geometry, hd: HorDiffusion,
     )
 
 
+def _apply_level_matrix(A, y):
+    """(k, l) matrix along the level axis of complex (..., l, m, n), as kx^2
+    unrolled scalar multiply-adds. Complex einsums lower to convolution
+    kernels on the TPU backend (measured ~2.6 ms/step at 256 members for the
+    four implicit contractions); the unrolled form fuses into plain
+    elementwise work. A may be (k, l) or position-dependent (k, l, m, n)."""
+    kxo, kxi = A.shape[0], A.shape[1]
+    return jnp.stack(
+        [sum(A[k, l] * y[..., l, :, :] for l in range(kxi))
+         for k in range(kxo)], axis=-3)
+
+
 def implicit_terms(im: ImplicitTables, divdt: jnp.ndarray, tdt: jnp.ndarray,
                    psdt: jnp.ndarray):
     """Semi-implicit gravity-wave correction (implicit.f90:234-289).
@@ -171,12 +183,18 @@ def implicit_terms(im: ImplicitTables, divdt: jnp.ndarray, tdt: jnp.ndarray,
     axis is third-from-last so the kx-by-kx contractions batch over (m, n).
     Returns corrected (divdt, tdt, psdt).
     """
+    xd = np.asarray(im.xd)
+    xc = np.asarray(im.xc)
+    xj_t = np.transpose(np.asarray(im.xj_mn), (2, 3, 0, 1))  # (k, l, m, n)
+    tref_c = np.asarray(im.tref)[:, None, None]
+    dhsx_c = np.asarray(im.dhsx)[:, None, None]
+
     # ye = xd . tdt + R tref psdt
-    ye = jnp.einsum("kl,...lmn->...kmn", im.xd, tdt) \
-        + pc.RGAS * im.tref[:, None, None] * psdt[..., None, :, :]
+    ye = _apply_level_matrix(xd, tdt) \
+        + pc.RGAS * tref_c * psdt[..., None, :, :]
     yf = divdt + im.elz * ye
-    # divdt <- xj(l) . yf   (batched per-(m,n) kx x kx matvec)
-    divdt = jnp.einsum("mnkl,...lmn->...kmn", im.xj_mn, yf)
-    psdt = psdt - jnp.einsum("...kmn,k->...mn", divdt, im.dhsx)
-    tdt = tdt + jnp.einsum("kl,...lmn->...kmn", im.xc, divdt)
+    # divdt <- xj(l) . yf   (per-(m,n) kx x kx matvec)
+    divdt = _apply_level_matrix(xj_t, yf)
+    psdt = psdt - jnp.sum(dhsx_c * divdt, axis=-3)
+    tdt = tdt + _apply_level_matrix(xc, divdt)
     return divdt, tdt, psdt

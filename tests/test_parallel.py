@@ -123,3 +123,69 @@ def test_shard_map_transforms_match():
     back_sh = spec2grid_sharded(sp, mesh, spec_sh, 2)
     np.testing.assert_allclose(np.asarray(back_sh), np.asarray(back_ref),
                                rtol=0, atol=1e-12)
+
+
+def test_sharded_full_model_nspace4():
+    """Full model at n_space=4 (the deeper pencil decomposition): sharded
+    execution over a 2x4 ensemble x space mesh must match unsharded."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    consts, state, cal = demo()
+
+    batched = broadcast_state(state, 2)
+    run = make_run_steps_batched(consts, donate=False)
+    ctx, _ = M.build_step_ctx(dataclasses.replace(cal), 2, N_STEPS)
+    ref = run(batched, ctx)
+
+    mesh = make_mesh(n_ensemble=2, n_space=4)
+    sharded = shard_ensemble(mesh, broadcast_state(state, 2))
+    run_sh = make_run_steps_batched(consts, mesh=mesh, donate=False)
+    ctx2, _ = M.build_step_ctx(dataclasses.replace(cal), 2, N_STEPS)
+    out = run_sh(sharded, ctx2)
+
+    for name in ("vor", "div", "t", "ps", "tr", "tt_rsw", "land_temp"):
+        np.testing.assert_allclose(
+            np.asarray(out[name]), np.asarray(ref[name]),
+            rtol=0, atol=1e-10, err_msg=name)
+
+
+def test_shard_transform_collective_counts():
+    """The explicit shard_map pencil transforms must lower to exactly ONE
+    all-reduce (the fold-weighted psum) for the direct transform and ZERO
+    collectives for the inverse — the design contract of
+    parallel/shard_transforms.py."""
+    import re
+
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from pyspeedy_tpu.ops import spectral as S
+    from pyspeedy_tpu.ops.geometry import build_geometry
+    from pyspeedy_tpu.parallel.shard_transforms import (grid2spec_sharded,
+                                                        spec2grid_sharded)
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs multiple devices")
+    geom = build_geometry(PARAMS)
+    sp = S.build_spectral(PARAMS, geom, use_matmul_fft=True)
+    mesh = make_mesh(n_ensemble=2, n_space=4)
+
+    g = jnp.zeros((6, 48, 96))
+    g_sh = jax.device_put(g, NamedSharding(mesh, P(None, "space", None)))
+
+    def count_collectives(fn, *args):
+        txt = jax.jit(fn).lower(*args).compile().as_text()
+        return {
+            kind: len(re.findall(rf"%{kind}[.\d]* = ", txt))
+            for kind in ("all-reduce", "all-gather", "all-to-all",
+                         "collective-permute", "reduce-scatter")
+        }
+
+    c_dir = count_collectives(
+        lambda x: grid2spec_sharded(sp, mesh, x), g_sh)
+    assert c_dir["all-reduce"] == 1, c_dir
+    assert sum(c_dir.values()) == 1, c_dir
+
+    spec = grid2spec_sharded(sp, mesh, g_sh)
+    c_inv = count_collectives(
+        lambda s: spec2grid_sharded(sp, mesh, s, 2), spec)
+    assert sum(c_inv.values()) == 0, c_inv
