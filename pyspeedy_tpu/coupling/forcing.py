@@ -61,7 +61,7 @@ def set_forcing(consts, state, year_frac, tyear):
     # Orographic T/q corrections for horizontal diffusion (forcing.f90:76-101)
     gamlat = pc.GAMMA / (1000.0 * pc.GRAV)
     corh = gamlat * state["phis0"]
-    state["tcorh"] = S.grid2spec(sp, corh)
+    state["tcorh"] = S.grid2spec_p(sp, corh)
 
     pexp = 1.0 / (pc.RGAS * gamlat)
     tsfc = (state["fmask_land"] * state["land_temp"]
@@ -72,5 +72,5 @@ def set_forcing(consts, state, year_frac, tyear):
     qref = get_qsat(tref, jnp.ones_like(psfc), -1.0)
     qsfc = get_qsat(tsfc, psfc, 1.0)
     corh = pc.REFRH1 * (qref - qsfc)
-    state["qcorh"] = S.grid2spec(sp, corh)
+    state["qcorh"] = S.grid2spec_p(sp, corh)
     return state

@@ -22,13 +22,15 @@ def check_diagnostics(consts, state, time_lev: int):
     t = state["t"][time_lev]
 
     def eddy_ke(x):
-        # - sum over m>=1 (all n) of Re(lapinv(x) * conj(x))
-        prod = (S.laplacian_inv(sp, x) * jnp.conj(x)).real
+        # - sum over m>=1 (all n) of Re(lapinv(x) * conj(x)); on the real
+        # pair (2, kx, mx, nx) that is lap_re*re + lap_im*im summed over c.
+        lp = S.laplacian_inv(sp, x)
+        prod = lp[0] * x[0] + lp[1] * x[1]
         return -jnp.sum(prod[..., 1:, :], axis=(-2, -1))
 
     ke_vor = eddy_ke(vor)   # (kx,)
     ke_div = eddy_ke(div)
-    tmean = jnp.sqrt(0.5) * t[..., 0, 0].real
+    tmean = jnp.sqrt(0.5) * t[0, ..., 0, 0]
 
     bad = (jnp.any(ke_vor > 500.0) | jnp.any(ke_div > 500.0)
            | jnp.any(tmean < 180.0) | jnp.any(tmean > 320.0))

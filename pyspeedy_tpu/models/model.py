@@ -101,10 +101,13 @@ def build_consts_cached(params: ModelParams, **flags):
 
 
 def make_run_steps_cached(consts: Consts, phase: int | None = None):
+    # The cache key is id(consts): the entry stores consts itself so the GC
+    # can never recycle that id for a different Consts (a stale hit would
+    # silently run the step with the wrong tables/resolution).
     key = (id(consts), phase)
     if key not in _RUN_FN_CACHE:
-        _RUN_FN_CACHE[key] = make_run_steps(consts, phase)
-    return _RUN_FN_CACHE[key]
+        _RUN_FN_CACHE[key] = (consts, make_run_steps(consts, phase))
+    return _RUN_FN_CACHE[key][1]
 
 
 def build_consts(params: ModelParams, **flags) -> tuple[Consts, Geometry]:
@@ -140,20 +143,25 @@ def allocate_state(params: ModelParams, n_months: int = 1) -> dict:
     one tiny XLA compile per field, which is slow (and flaky) on the TPU
     backend; the first jitted call transfers the whole pytree at once."""
     rdt = np.float64 if params.precision == "f64" else np.float32
-    cdt = np.complex128 if params.precision == "f64" else np.complex64
     state = {}
     for spec in MODEL_STATE_VARS:
         if spec.name == "current_step":
             continue  # host-side counter
         shape = internal_shape(params, spec, n_months=n_months)
-        dtype = {"c": cdt, "r": rdt, "i": np.int32, "l": bool}[spec.kind]
+        # Complex-kind (spectral) variables are stored as REAL pairs with a
+        # leading c axis of size 2 (ops/spectral.py): no complex dtype in any
+        # traced graph (Mosaic has no complex lowering and axon cannot read
+        # complex arrays back to the host).
+        dtype = {"c": rdt, "r": rdt, "i": np.int32, "l": bool}[spec.kind]
+        cpre = (2,) if spec.kind == "c" else ()
         if is_tlev(spec):
             # Leapfrog time levels live as a tuple of per-level arrays (see
             # registry.internal_perm): t_levs is the leading internal axis.
             state[spec.name] = tuple(
-                np.zeros(shape[1:], dtype=dtype) for _ in range(shape[0]))
+                np.zeros(cpre + shape[1:], dtype=dtype)
+                for _ in range(shape[0]))
         else:
-            state[spec.name] = np.zeros(shape, dtype=dtype)
+            state[spec.name] = np.zeros(cpre + shape, dtype=dtype)
     # Defaults (model_state.f90 "Initialize default values")
     state["air_absortivity_co2"] = np.asarray(6.0, dtype=rdt)
     state["ablco2_ref"] = np.asarray(6.0, dtype=rdt)
@@ -229,9 +237,12 @@ def _make_device_init(consts: Consts, geom_np: Geometry):
     """Jitted device-side initialization, cached per consts so repeated model
     constructions (tests, ensembles) reuse one compilation. Calendar scalars
     are traced arguments, so any start date hits the same executable."""
+    # Keyed by id(consts); the entry pins consts so the id cannot be recycled
+    # (see make_run_steps_cached).
+    consts_outer = consts
     key = id(consts)
     if key in _DEVICE_INIT_CACHE:
-        return _DEVICE_INIT_CACHE[key]
+        return _DEVICE_INIT_CACHE[key][1]
 
     # Initialization runs at batch=1: the XLA path wins there (see
     # make_run_steps).
@@ -289,7 +300,7 @@ def _make_device_init(consts: Consts, geom_np: Geometry):
         st = _boot_full(st)
         return st, bad0
 
-    _DEVICE_INIT_CACHE[key] = _device_init
+    _DEVICE_INIT_CACHE[key] = (consts_outer, _device_init)
     return _device_init
 
 

@@ -22,15 +22,16 @@ def initialize_from_rest_state(consts, state):
     sp = consts.sp
     geom = consts.geom
     kx = params.kx
-    cdtype = state["vor"][0].dtype
+    rdtype = params.dtype
 
     gam1 = pc.GAMMA / (1000.0 * pc.GRAV)
 
     state = dict(state)
-    phis = S.grid2spec(sp, state["phis0"])
+    # Spectral fields are real pairs (2, ..., mx, nx); see ops/spectral.py.
+    phis = S.grid2spec_p(sp, state["phis0"])
     state["phis"] = phis
 
-    zeros3 = jnp.zeros((kx, params.mx, params.nx), dtype=cdtype)
+    zeros3 = jnp.zeros((2, kx, params.mx, params.nx), dtype=rdtype)
     state["vor"] = (zeros3, zeros3)
     state["div"] = (zeros3, zeros3)
 
@@ -40,21 +41,23 @@ def initialize_from_rest_state(consts, state):
     rgamr = 1.0 / rgam
 
     surfs = -gam1 * phis
-    surfs = surfs.at[0, 0].set(float(np.sqrt(2.0)) * tref - gam1 * phis[0, 0])
+    surfs = surfs.at[0, 0, 0].set(
+        float(np.sqrt(2.0)) * tref - gam1 * phis[0, 0, 0])
 
-    t_levels = [jnp.zeros_like(phis).at[0, 0].set(float(np.sqrt(2.0)) * ttop)
+    t_levels = [jnp.zeros_like(phis).at[0, 0, 0].set(float(np.sqrt(2.0)) * ttop)
                 for _ in range(2)]
     for k in range(2, kx):
         t_levels.append(surfs * geom.fsg[k] ** rgam)
-    t1 = jnp.stack(t_levels)
+    t1 = jnp.stack(t_levels, axis=1)  # (2, kx, mx, nx)
     state["t"] = (t1, jnp.zeros_like(t1))
 
     # log(normalized ps) consistent with the temperature profile, p=1013 hPa
     # at z=0 (prognostics.f90:83-94).
     rlog0 = float(np.log(1.013))
     surfg = rlog0 + rgamr * jnp.log(1.0 - gam2 * state["phis0"])
-    ps1 = S.truncate(sp, S.grid2spec(sp, surfg)) if params.ix == 4 * params.iy \
-        else S.grid2spec(sp, surfg)
+    ps1 = S.grid2spec_p(sp, surfg)
+    if params.ix == 4 * params.iy:
+        ps1 = S.truncate(sp, ps1)
     state["ps"] = (ps1, jnp.zeros_like(ps1))
 
     # Tropospheric specific humidity in g/kg (prognostics.f90:96-115).
@@ -62,16 +65,16 @@ def initialize_from_rest_state(consts, state):
     qref = pc.REFRH1 * 0.622 * esref
     qexp = pc.HSCALE / pc.HSHUM
     surfgq = qref * jnp.exp(qexp * surfg)
-    surfsq = S.grid2spec(sp, surfgq)
+    surfsq = S.grid2spec_p(sp, surfgq)
     if params.ix == 4 * params.iy:
         surfsq = S.truncate(sp, surfsq)
 
     q_levels = [jnp.zeros_like(phis) for _ in range(2)]
     for k in range(2, kx):
         q_levels.append(surfsq * geom.fsg[k] ** qexp)
-    # tr layout: tuple over t_levs of (ntr, kx, mx, nx)
-    tr0 = jnp.zeros((params.ntr, kx, params.mx, params.nx), dtype=cdtype)
-    state["tr"] = (tr0.at[0].set(jnp.stack(q_levels)), tr0)
+    # tr layout: tuple over t_levs of (2, ntr, kx, mx, nx)
+    tr0 = jnp.zeros((2, params.ntr, kx, params.mx, params.nx), dtype=rdtype)
+    state["tr"] = (tr0.at[:, 0].set(jnp.stack(q_levels, axis=1)), tr0)
 
     state["phi"] = jnp.zeros_like(t1)
     return state
@@ -82,13 +85,13 @@ def spectral2grid(consts, state):
     (prognostics.f90:125-154)."""
     sp = consts.sp
     state = dict(state)
-    ucos, vcos = S.vort2vel(sp, state["vor"][0], state["div"][0])
-    state["u_grid"] = S.spec2grid(sp, ucos, 2)
-    state["v_grid"] = S.spec2grid(sp, vcos, 2)
-    state["t_grid"] = S.spec2grid(sp, state["t"][0], 1)
-    state["q_grid"] = S.spec2grid(sp, state["tr"][0][0], 1) * 1.0e-3  # kg/kg
-    state["phi_grid"] = S.spec2grid(sp, state["phi"], 1) / pc.GRAV    # m
-    state["ps_grid"] = pc.P0 * jnp.exp(S.spec2grid(sp, state["ps"][0], 1))  # Pa
+    ucos, vcos = S.vort2vel_p(sp, state["vor"][0], state["div"][0])
+    state["u_grid"] = S.spec2grid_p(sp, ucos, 2)
+    state["v_grid"] = S.spec2grid_p(sp, vcos, 2)
+    state["t_grid"] = S.spec2grid_p(sp, state["t"][0], 1)
+    state["q_grid"] = S.spec2grid_p(sp, state["tr"][0][:, 0], 1) * 1.0e-3  # kg/kg
+    state["phi_grid"] = S.spec2grid_p(sp, state["phi"], 1) / pc.GRAV    # m
+    state["ps_grid"] = pc.P0 * jnp.exp(S.spec2grid_p(sp, state["ps"][0], 1))  # Pa
     return state
 
 
@@ -97,14 +100,14 @@ def grid2spectral(consts, state):
     (prognostics.f90:157-179)."""
     sp = consts.sp
     state = dict(state)
-    vor1, div1 = S.grid_vel2vort(sp, state["u_grid"], state["v_grid"], 2)
+    vor1, div1 = S.grid_vel2vort_p(sp, state["u_grid"], state["v_grid"], 2)
     state["vor"] = (vor1, state["vor"][1])
     state["div"] = (div1, state["div"][1])
-    state["t"] = (S.grid2spec(sp, state["t_grid"]), state["t"][1])
-    state["tr"] = (state["tr"][0].at[0].set(
-        S.grid2spec(sp, state["q_grid"]) / 1.0e-3), state["tr"][1])
-    state["phi"] = S.grid2spec(sp, state["phi_grid"]) * pc.GRAV
-    state["ps"] = (S.grid2spec(sp, jnp.log(state["ps_grid"] / pc.P0)),
+    state["t"] = (S.grid2spec_p(sp, state["t_grid"]), state["t"][1])
+    state["tr"] = (state["tr"][0].at[:, 0].set(
+        S.grid2spec_p(sp, state["q_grid"]) / 1.0e-3), state["tr"][1])
+    state["phi"] = S.grid2spec_p(sp, state["phi_grid"]) * pc.GRAV
+    state["ps"] = (S.grid2spec_p(sp, jnp.log(state["ps_grid"] / pc.P0)),
                    state["ps"][1])
     return state
 

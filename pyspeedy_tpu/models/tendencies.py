@@ -4,9 +4,11 @@ All grid-point algebra is batched over the level axis; the per-level Fortran
 transform loops collapse into single batched transforms (einsum + FFT), which
 is where the MXU throughput comes from.
 
-Array layouts: spectral (kx, mx, nx) / (mx, nx); grid (kx, il, ix) / (il, ix);
-time-level axis leads prognostic arrays: vor (2, kx, mx, nx), ps (2, mx, nx),
-tr (2, ntr, kx, mx, nx).
+Array layouts: spectral fields are real PAIRS with a leading c axis (c=0 real
+part, c=1 imaginary part; see ops/spectral.py): (2, kx, mx, nx) / (2, mx, nx).
+Grid fields are (kx, il, ix) / (il, ix). The leapfrog time levels are tuples
+of per-level arrays: vor = (lev0, lev1) each (2, kx, mx, nx); tr levels are
+(2, ntr, kx, mx, nx).
 """
 
 from __future__ import annotations
@@ -31,24 +33,25 @@ def _vertical_means(dhs, fields):
 
 
 def _multi_spec2grid(sp, fields, fused):
-    """Inverse-transform a list of (k_i, mx, nx) spectral stacks. fused=True
-    runs them as one mega-batched call (fewer launches, bigger matmuls);
-    fused=False keeps per-field calls (better for vmapped ensembles)."""
+    """Inverse-transform a list of (2, k_i, mx, nx) spectral pairs into
+    (k_i, il, ix) grids. fused=True runs them as one mega-batched call (fewer
+    launches, bigger matmuls); fused=False keeps per-field calls (better for
+    vmapped ensembles)."""
     if fused:
-        sizes = [f.shape[0] for f in fields]
-        out = S.spec2grid(sp, jnp.concatenate(fields, axis=0), 1)
+        sizes = [f.shape[1] for f in fields]
+        out = S.spec2grid_p(sp, jnp.concatenate(fields, axis=1), 1)
         import numpy as _np
         return jnp.split(out, list(_np.cumsum(sizes)[:-1]), axis=0)
-    return [S.spec2grid(sp, f, 1) for f in fields]
+    return [S.spec2grid_p(sp, f, 1) for f in fields]
 
 
 def _multi_grid2spec(sp, fields, fused):
     if fused:
         sizes = [f.shape[0] for f in fields]
-        out = S.grid2spec(sp, jnp.concatenate(fields, axis=0))
+        out = S.grid2spec_p(sp, jnp.concatenate(fields, axis=0))
         import numpy as _np
-        return jnp.split(out, list(_np.cumsum(sizes)[:-1]), axis=0)
-    return [S.grid2spec(sp, f) for f in fields]
+        return jnp.split(out, list(_np.cumsum(sizes)[:-1]), axis=1)
+    return [S.grid2spec_p(sp, f) for f in fields]
 
 
 def _half_level_flux(sigdt, df):
@@ -178,20 +181,20 @@ def get_grid_point_tendencies(consts, state, j2: int, physics_fn=None, ctx=None)
     vor = state["vor"][j2]
     div = state["div"][j2]
     t = state["t"][j2]
-    tr = state["tr"][j2]  # (ntr, kx, mx, nx)
+    tr = state["tr"][j2]  # (2, ntr, kx, mx, nx)
     ps = state["ps"][j2]
-    ntr = tr.shape[0]
+    ntr = tr.shape[1]
 
     # --- prognostics to grid space (tendencies.f90:109-130) ---
     # The per-field math is identical in both fusion modes (the cos-lat
     # scaling of the reference's kcos=2 variant commutes with the linear
     # transform and is applied after).
-    ucos, vcos = S.vort2vel(sp, vor, div)
-    psdx, psdy = S.gradient(sp, ps)
+    ucos, vcos = S.vort2vel_p(sp, vor, div)
+    psdx, psdy = S.gradient_p(sp, ps)
     (vorg, divg, tg, trg_flat, ug, vg, pxy) = _multi_spec2grid(
         sp,
-        [vor, div, t, tr.reshape((-1,) + tr.shape[-2:]),
-         ucos, vcos, jnp.stack([psdx, psdy])],
+        [vor, div, t, tr.reshape((2, -1) + tr.shape[-2:]),
+         ucos, vcos, jnp.stack([psdx, psdy], axis=1)],
         consts.fuse_transforms)
 
     rcos = sp.cosgr[:, None]
@@ -219,7 +222,7 @@ def get_grid_point_tendencies(consts, state, j2: int, physics_fn=None, ctx=None)
     trtend = trtend_flat.reshape((ntr, kx) + vorg.shape[-2:])
 
     # --- log-ps tendency (tendencies.f90:144-149) ---
-    psdt = S.grid2spec(sp, psdt_g) * not00
+    psdt = S.grid2spec_p(sp, psdt_g) * not00
 
     # --- physics (tendencies.f90:229-232) ---
     state = dict(state)
@@ -238,15 +241,15 @@ def get_grid_point_tendencies(consts, state, j2: int, physics_fn=None, ctx=None)
     inputs += [trtend[i] for i in range(ntr)]
     specs = _multi_grid2spec(sp, inputs, consts.fuse_transforms)
 
-    vordt, divdt = S.vel2vort(sp, specs[0], specs[1])
-    _, tdt_flux = S.vel2vort(sp, specs[2], specs[3])
-    tr_fluxes = [S.vel2vort(sp, specs[4 + 2 * i], specs[5 + 2 * i])[1]
+    vordt, divdt = S.vel2vort_p(sp, specs[0], specs[1])
+    _, tdt_flux = S.vel2vort_p(sp, specs[2], specs[3])
+    tr_fluxes = [S.vel2vort_p(sp, specs[4 + 2 * i], specs[5 + 2 * i])[1]
                  for i in range(ntr)]
     base = 4 + 2 * ntr
     ke_spec = specs[base]
     tdt = tdt_flux + specs[base + 1]
     trdt = jnp.stack([tr_fluxes[i] + specs[base + 2 + i]
-                      for i in range(ntr)])
+                      for i in range(ntr)], axis=1)
 
     divdt = divdt - S.laplacian(sp, ke_spec)
 
@@ -262,32 +265,37 @@ def get_spectral_tendencies(consts, state, divdt, tdt, psdt, j2: int):
     dhs = geom.dhs
     kx = dhs.shape[0]
 
-    div = state["div"][j2]
+    div = state["div"][j2]  # (2, kx, mx, nx)
     tref = im.tref
 
-    dmeanc = jnp.einsum("k,kmn->mn", dhs.astype(div.real.dtype), div)
+    dmeanc = jnp.einsum("k,ckmn->cmn", dhs.astype(div.dtype), div)
     not00 = np.ones((psdt.shape[-2], psdt.shape[-1]))
     not00[0, 0] = 0.0
-    psdt = (psdt - dmeanc) * jnp.asarray(not00, dtype=dmeanc.real.dtype)
+    psdt = (psdt - dmeanc) * jnp.asarray(not00, dtype=dmeanc.dtype)
 
-    # sigma-dot on half levels (kx+1, mx, nx); note the reference accumulates
-    # only through k=kx-1 so the bottom boundary stays zero.
-    zero2 = jnp.zeros_like(div[:1])
+    # sigma-dot on half levels (2, kx+1, mx, nx); note the reference
+    # accumulates only through k=kx-1 so the bottom boundary stays zero.
+    zero2 = jnp.zeros_like(div[:, :1])
     sigdtc = jnp.concatenate(
-        [zero2, -jnp.cumsum(dhs[:-1, None, None] * (div[:-1] - dmeanc), axis=0), zero2],
-        axis=0)
+        [zero2,
+         -jnp.cumsum(dhs[:-1, None, None] * (div[:, :-1] - dmeanc[:, None]),
+                     axis=1),
+         zero2],
+        axis=1)
 
     dumk = jnp.concatenate(
-        [zero2, sigdtc[1:-1] * (tref[1:] - tref[:-1])[:, None, None], zero2], axis=0)
+        [zero2, sigdtc[:, 1:-1] * (tref[1:] - tref[:-1])[:, None, None],
+         zero2], axis=1)
 
-    tdt = (tdt - (dumk[1:] + dumk[:-1]) * geom.dhsr[:, None, None]
-           + im.tref3[:, None, None] * (sigdtc[1:] + sigdtc[:-1])
-           - im.tref2[:, None, None] * dmeanc)
+    tdt = (tdt - (dumk[:, 1:] + dumk[:, :-1]) * geom.dhsr[:, None, None]
+           + im.tref3[:, None, None] * (sigdtc[:, 1:] + sigdtc[:, :-1])
+           - im.tref2[:, None, None] * dmeanc[:, None])
 
     state = dict(state)
     state["phi"] = get_geopotential(consts.gp, state["t"][j2], state["phis"])
     divdt = divdt - S.laplacian(
-        sp, state["phi"] + pc.RGAS * tref[:, None, None] * state["ps"][j2])
+        sp,
+        state["phi"] + pc.RGAS * tref[:, None, None] * state["ps"][j2][:, None])
 
     return divdt, tdt, psdt, state
 

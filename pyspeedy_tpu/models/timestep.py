@@ -56,7 +56,9 @@ def step(consts, state, j1: int, j2: int, dt: float, physics_fn=None, ctx=None):
     vordt = _hordif(vor0, vordt, hd.dmp, im.dmp1)
     divdt = _hordif(div0, divdt, hd.dmpd, im.dmp1d)
 
-    tcor = state["t"][0] + state["tcorh"] * hd.tcorv[:, None, None]
+    # tcorh is a (2, mx, nx) real pair; insert the level axis for the
+    # (kx, 1, 1) vertical-profile broadcast.
+    tcor = state["t"][0] + state["tcorh"][:, None] * hd.tcorv[:, None, None]
     tdt = _hordif(tcor, tdt, hd.dmp, im.dmp1)
 
     # Stratospheric drag on the zonal-mean top-level flow
@@ -73,11 +75,13 @@ def step(consts, state, j1: int, j2: int, dt: float, physics_fn=None, ctx=None):
     divdt = _hordif(div0, divdt, hd.dmps, im.dmp1s)
     tdt = _hordif(tcor, tdt, hd.dmps, im.dmp1s)
 
-    qcor = state["tr"][0][0] + state["qcorh"] * hd.qcorv[:, None, None]
+    # tr is a (2, ntr, kx, mx, nx) real pair; tracer index is axis 1.
+    qcor = (state["tr"][0][:, 0]
+            + state["qcorh"][:, None] * hd.qcorv[:, None, None])
     trdt = jnp.stack(
-        [_hordif(qcor, trdt[0], hd.dmpd, im.dmp1d)]
-        + [_hordif(state["tr"][0][itr], trdt[itr], hd.dmp, im.dmp1)
-           for itr in range(1, params.ntr)])
+        [_hordif(qcor, trdt[:, 0], hd.dmpd, im.dmp1d)]
+        + [_hordif(state["tr"][0][:, itr], trdt[:, itr], hd.dmp, im.dmp1)
+           for itr in range(1, params.ntr)], axis=1)
 
     # --- leapfrog with Robert-Williams filter (time_stepping.f90:124-144) ---
     eps = 0.0 if j1 == 1 else params.rob

@@ -37,6 +37,8 @@ __all__ = [
     "SpectralTransform", "build_spectral",
     "grid2spec", "spec2grid", "gradient", "vel2vort", "vort2vel",
     "grid_vel2vort", "truncate", "grid_filter", "laplacian", "laplacian_inv",
+    "pair", "unpair", "grid2spec_p", "spec2grid_p", "gradient_p",
+    "vel2vort_p", "vort2vel_p", "grid_vel2vort_p",
 ]
 
 # The Fortran reference truncates the near-exact-underflow polynomial values
@@ -461,6 +463,104 @@ def spec2grid(sp: SpectralTransform, spec: jnp.ndarray, kcos: int = 1) -> jnp.nd
     return g
 
 
+# ---------------------------------------------------------------------------
+# Real-pair spectral representation
+# ---------------------------------------------------------------------------
+# The model state stores spectral fields as REAL arrays with a leading c axis
+# of size 2 (c=0: real part, c=1: imaginary part): vor is (2, kx, mx, nx), ps
+# is (2, mx, nx). Every spectral-space operator in the model is linear with
+# real coefficients except multiplication by i*m (the zonal derivative), which
+# is a plane swap with a sign — so the whole spectral side runs in real
+# arithmetic. Motivation (measured, BENCH_NOTES round 2): complex einsums and
+# re/im extraction lower to relayout copies on the TPU backend, complex dtypes
+# have no Mosaic lowering (keeping the leapfrog/diffusion/implicit glue out of
+# Pallas kernels), and complex host readback is UNIMPLEMENTED on axon. All
+# right-aligned (mx, nx)-table broadcasts work unchanged on pairs.
+
+
+def pair(spec: jnp.ndarray) -> jnp.ndarray:
+    """Complex (..., mx, nx) -> real pair (2, ..., mx, nx)."""
+    return jnp.stack([jnp.real(spec), jnp.imag(spec)])
+
+
+def unpair(p: jnp.ndarray) -> jnp.ndarray:
+    """Real pair (2, ..., mx, nx) -> complex (..., mx, nx)."""
+    return jax.lax.complex(p[0], p[1])
+
+
+def _imul_p(coef, p: jnp.ndarray) -> jnp.ndarray:
+    """(i * coef) * p for a real broadcastable coef: (re, im) -> (-c*im, c*re)."""
+    return jnp.stack([-coef * p[1], coef * p[0]])
+
+
+def grid2spec_p(sp: SpectralTransform, grid: jnp.ndarray) -> jnp.ndarray:
+    """Grid (..., il, ix) -> spectral pair (2, ..., mx, nx).
+
+    Same arithmetic as grid2spec (spectral.f90:263-273) without ever forming
+    a complex array on the matmul path."""
+    _check_static_flags(sp)
+    if not sp.use_matmul_fft:
+        return pair(_legendre_direct(sp, _fourier_direct(sp, grid)))
+    if sp.use_dense_legendre:
+        return jnp.stack([_leg_dir_dense(sp, grid @ sp.dft_fwd_re),
+                          _leg_dir_dense(sp, grid @ sp.dft_fwd_im)])
+    F2 = jnp.einsum("...ji,cim->c...jm", grid, sp.dft_fwd_ri)
+    return jnp.einsum("jmn,c...jm->c...mn", sp.cpol_dir_full, F2)
+
+
+def spec2grid_p(sp: SpectralTransform, p: jnp.ndarray, kcos: int = 1) -> jnp.ndarray:
+    """Spectral pair (2, ..., mx, nx) -> grid (..., il, ix).
+
+    The reference's "discard the m=0 imaginary part" rule (fourier.f90:72-76)
+    is inherent in dft_inv_ri[1, 0, :] == 0."""
+    _check_static_flags(sp)
+    if not sp.use_matmul_fft:
+        return _fourier_inverse(sp, _legendre_inverse(sp, unpair(p)), kcos)
+    if sp.use_dense_legendre:
+        g = (_leg_inv_dense(sp, p[0]) @ sp.dft_inv_re
+             + _leg_inv_dense(sp, p[1]) @ sp.dft_inv_im).astype(sp.rdtype)
+    else:
+        F2 = jnp.einsum("jmn,c...mn->c...jm", sp.cpol_inv_full, p)
+        g = jnp.einsum("c...jm,cmi->...ji", F2, sp.dft_inv_ri).astype(sp.rdtype)
+    if kcos != 1:
+        g = g * sp.cosgr[:, None]
+    return g
+
+
+def gradient_p(sp: SpectralTransform, psi: jnp.ndarray):
+    """gradient() on a real pair (spectral.f90:275-296)."""
+    psdx = _imul_p(sp.gradx[:, None], psi)
+    psdy = -sp.gradym * _shift_dn(psi) + sp.gradyp * _shift_up(psi)
+    return psdx, psdy
+
+
+def vel2vort_p(sp: SpectralTransform, ucosm: jnp.ndarray, vcosm: jnp.ndarray):
+    """vel2vort() on real pairs (spectral.f90:160-186)."""
+    zp = _no_zonal_last_row(sp, _imul_p(sp.gradx[:, None], ucosm))
+    zc = _no_zonal_last_row(sp, _imul_p(sp.gradx[:, None], vcosm))
+    vorm = sp.vddym * _shift_dn(ucosm) - sp.vddyp * _shift_up(ucosm) + zc
+    divm = -sp.vddym * _shift_dn(vcosm) + sp.vddyp * _shift_up(vcosm) + zp
+    return vorm, divm
+
+
+def vort2vel_p(sp: SpectralTransform, vorm: jnp.ndarray, divm: jnp.ndarray):
+    """vort2vel() on real pairs (spectral.f90:190-214)."""
+    zp = _no_zonal_last_row(sp, _imul_p(sp.uvdx, vorm))
+    zc = _no_zonal_last_row(sp, _imul_p(sp.uvdx, divm))
+    ucosm = sp.uvdym * _shift_dn(vorm) - sp.uvdyp * _shift_up(vorm) + zc
+    vcosm = -sp.uvdym * _shift_dn(divm) + sp.uvdyp * _shift_up(divm) + zp
+    return ucosm, vcosm
+
+
+def grid_vel2vort_p(sp: SpectralTransform, ug: jnp.ndarray, vg: jnp.ndarray,
+                    kcos: int = 2):
+    """grid_vel2vort() returning real pairs (spectral.f90:218-248)."""
+    scale = sp.cosgr if kcos == 2 else sp.cosgr2
+    specu = grid2spec_p(sp, ug * scale[:, None])
+    specv = grid2spec_p(sp, vg * scale[:, None])
+    return vel2vort_p(sp, specu, specv)
+
+
 def truncate(sp: SpectralTransform, spec: jnp.ndarray) -> jnp.ndarray:
     """Triangular truncation to l <= trunc (spectral.f90:134-138)."""
     return spec * sp.trfilt
@@ -532,5 +632,7 @@ def grid_vel2vort(sp: SpectralTransform, ug: jnp.ndarray, vg: jnp.ndarray,
 
 
 def grid_filter(sp: SpectralTransform, fg: jnp.ndarray) -> jnp.ndarray:
-    """Spectrally truncate a grid-point field (spectral.f90:299-317)."""
-    return spec2grid(sp, truncate(sp, grid2spec(sp, fg)), 1)
+    """Spectrally truncate a grid-point field (spectral.f90:299-317).
+    Runs through the real-pair pipeline (identical arithmetic, no complex
+    intermediates)."""
+    return spec2grid_p(sp, truncate(sp, grid2spec_p(sp, fg)), 1)

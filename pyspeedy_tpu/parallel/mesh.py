@@ -40,8 +40,18 @@ def make_mesh(n_ensemble: int = None, n_space: int = 1, devices=None) -> Mesh:
     return Mesh(dev_array, axis_names=("ensemble", "space"))
 
 
+# Spectral state fields are real (2, ..., mx, nx) pairs (ops/spectral.py) —
+# not detectable by dtype, so they are named here (registry kind "c" plus the
+# runtime-created spectral extras).
+def _spectral_names():
+    from ..registry import MODEL_STATE_VARS
+
+    return ({s.name for s in MODEL_STATE_VARS if s.kind == "c"}
+            | {"sppt_spec", "tcorh", "qcorh"})
+
+
 def _spec_for_array(name: str, arr, batched: bool, shard_space: bool,
-                    n_space: int) -> P:
+                    n_space: int, spectral_names=frozenset()) -> P:
     """PartitionSpec for one state array; `batched` marks a leading member
     axis (dynamic fields). Static fields are replicated over "ensemble"."""
     ndim = arr.ndim
@@ -56,10 +66,10 @@ def _spec_for_array(name: str, arr, batched: bool, shard_space: bool,
             spec[axis] = "space"
         return P(*lead, *spec)
 
-    if np.iscomplexobj(arr):
-        # spectral (..., mx, nx): shard total-wavenumber n (innermost, even
-        # size) over "space"; the Legendre contraction then reduces over a
-        # sharded axis and XLA inserts the transpose collective.
+    if name in spectral_names:
+        # spectral pair (2, ..., mx, nx): shard total-wavenumber n (innermost,
+        # even size) over "space"; the Legendre contraction then reduces over
+        # a sharded axis and XLA inserts the transpose collective.
         return with_axis(body_ndim - 1)
     if body_ndim >= 2 and arr.shape[-1] >= 32 and arr.shape[-2] >= 32:
         # grid (..., il, ix): latitude-band sharding over "space"
@@ -73,6 +83,7 @@ def ensemble_state_sharding(mesh: Mesh, state: dict, shard_space: bool = True):
     from ..models.model import DYNAMIC_FIELDS, EPHEMERAL_FIELDS
 
     n_space = mesh.shape["space"]
+    spectral_names = _spectral_names()
     shardings = {}
     for name, arr in state.items():
         if name in ("sppt_key",):
@@ -83,7 +94,8 @@ def ensemble_state_sharding(mesh: Mesh, state: dict, shard_space: bool = True):
         batched = name in DYNAMIC_FIELDS and name not in EPHEMERAL_FIELDS
         shardings[name] = jax.tree.map(
             lambda a: NamedSharding(
-                mesh, _spec_for_array(name, a, batched, shard_space, n_space)),
+                mesh, _spec_for_array(name, a, batched, shard_space, n_space,
+                                      spectral_names)),
             arr)
     return shardings
 

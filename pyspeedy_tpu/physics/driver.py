@@ -202,11 +202,11 @@ def get_physical_tendencies(consts, state, ctx, utend, vtend, ttend, trtend):
     # --- prognostics to grid at time level 0 (physics.f90:89-101) ---
     from ..models.tendencies import _multi_spec2grid
 
-    ucos, vcos = S.vort2vel(sp, state["vor"][0], state["div"][0])
+    ucos, vcos = S.vort2vel_p(sp, state["vor"][0], state["div"][0])
     ug, vg, tg, qg, phig, pslg1 = _multi_spec2grid(
         sp,
-        [ucos, vcos, state["t"][0], state["tr"][0][0], state["phi"],
-         state["ps"][0][None]],
+        [ucos, vcos, state["t"][0], state["tr"][0][:, 0], state["phi"],
+         state["ps"][0][:, None]],
         consts.fuse_transforms)
     rcos = sp.cosgr[:, None]
     ug = ug * rcos

@@ -36,10 +36,11 @@ def _sigma(params, sp):
 
 
 def init_sppt_state(params, key):
-    """Initial AR(1) state: stationary-variance draw (sppt.f90:92)."""
+    """Initial AR(1) state: stationary-variance draw (sppt.f90:92).
+    sppt_spec is a real pair (2, kx, mx, nx) — see ops/spectral.py."""
     return {
-        "sppt_spec": jnp.zeros((params.kx, params.mx, params.nx),
-                               dtype=params.cdtype),
+        "sppt_spec": jnp.zeros((2, params.kx, params.mx, params.nx),
+                               dtype=params.dtype),
         "sppt_key": key,
         "sppt_first": jnp.array(True),
     }
@@ -58,9 +59,11 @@ def gen_sppt(consts, state):
     shape = (params.kx, params.mx, params.nx)
 
     key, k1, k2 = jax.random.split(state["sppt_key"], 3)
-    rdt = jnp.real(jnp.zeros((), dtype=params.cdtype)).dtype
-    eta = (_clipped_normal(k1, shape, rdt, 10.0)
-           + 1j * _clipped_normal(k2, shape, rdt, 10.0))
+    rdt = params.dtype
+    # Complex white noise as a real pair (re, im): same draws as the complex
+    # formulation, no complex dtype in the traced graph.
+    eta = jnp.stack([_clipped_normal(k1, shape, rdt, 10.0),
+                     _clipped_normal(k2, shape, rdt, 10.0)])
 
     phi = _phi(params)
     sigma = _sigma(params, sp)
@@ -70,7 +73,7 @@ def gen_sppt(consts, state):
     ar1 = phi * state["sppt_spec"] + sigma * eta
     sppt_spec = jnp.where(first, fresh, ar1)
 
-    pattern = S.spec2grid(sp, sppt_spec, 1)
+    pattern = S.spec2grid_p(sp, sppt_spec, 1)
     pattern = jnp.clip(pattern, -1.0, 1.0)
 
     state = dict(state)

@@ -234,11 +234,21 @@ def internal_shape(params, spec: VarSpec, n_months=None):
 
 
 def to_api_array(spec: VarSpec, arr):
-    """Internal layout (tuple-of-levels for t_levs vars) -> Fortran-order
+    """Internal layout (tuple-of-levels for t_levs vars; real (2, ...) pairs
+    for complex-kind vars — see ops/spectral.py) -> Fortran-order complex/real
     API layout."""
     import numpy as _np
+
+    def _complexify(a):
+        a = _np.asarray(a)
+        return a[0] + 1j * a[1]
+
     if isinstance(arr, (tuple, list)):
-        arr = _np.stack([_np.asarray(a) for a in arr], axis=0)
+        levels = [_complexify(a) if spec.kind == "c" else _np.asarray(a)
+                  for a in arr]
+        arr = _np.stack(levels, axis=0)
+    elif spec.kind == "c":
+        arr = _complexify(arr)
     perm = internal_perm(spec)
     if perm is None or list(perm) == sorted(perm):
         return arr
@@ -248,10 +258,21 @@ def to_api_array(spec: VarSpec, arr):
 
 def from_api_array(spec: VarSpec, arr):
     """Fortran-order API layout -> internal layout (tuple-of-levels for
-    t_levs vars)."""
+    t_levs vars; real (2, ...) pairs for complex-kind vars)."""
+    import numpy as _np
+
+    def _pairify(a):
+        a = _np.asarray(a)
+        return _np.stack([a.real, a.imag], axis=0)
+
     perm = internal_perm(spec)
     if perm is not None and list(perm) != sorted(perm):
         arr = arr.transpose(perm)
     if is_tlev(spec):
-        return tuple(arr[i] for i in range(arr.shape[0]))
+        levels = tuple(arr[i] for i in range(arr.shape[0]))
+        if spec.kind == "c":
+            levels = tuple(_pairify(a) for a in levels)
+        return levels
+    if spec.kind == "c":
+        return _pairify(arr)
     return arr

@@ -35,8 +35,9 @@ __all__ = ["Speedy", "SpeedyEns", "MODEL_STATE_DEF"]
 _DT_STEP = timedelta(seconds=3600 * 24 / 36)
 
 # Checkpoint (.npz) format version: bump when the stored layout of any state
-# field changes (v2: 'tr' stored as (t_levs, ntr, kx, mx, nx)).
-_CHECKPOINT_VERSION = 2
+# field changes (v2: 'tr' stored as (t_levs, ntr, kx, mx, nx); v3: spectral
+# fields stored as real (2, ...) pairs instead of complex — ops/spectral.py).
+_CHECKPOINT_VERSION = 3
 
 # Exported for API parity with pyspeedy.speedy.MODEL_STATE_DEF
 MODEL_STATE_DEF = {

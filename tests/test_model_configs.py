@@ -39,7 +39,7 @@ def test_dynamics_only_240_steps():
     vor = np.asarray(state["vor"])
     assert np.isfinite(vor).all()
     # Without physics there is no diabatic forcing: flow stays weak
-    t_mean = float(state["t"][0][-1, 0, 0].real) / np.sqrt(2.0)
+    t_mean = float(state["t"][0][0, -1, 0, 0]) / np.sqrt(2.0)  # re plane
     assert 200.0 < t_mean < 320.0
 
 
@@ -67,9 +67,10 @@ def test_dynamics_only_240_step_self_fixture():
     fix = np.load(os.path.join(os.path.dirname(__file__), "fixtures",
                                "dynamics_only_240.npz"))
     got = {"vor": out["vor"][0], "div": out["div"][0], "t": out["t"][0],
-           "ps": out["ps"][0], "q": out["tr"][0][0]}
+           "ps": out["ps"][0], "q": out["tr"][0][:, 0]}
     for name, arr in got.items():
         a = np.asarray(arr)
+        a = a[0] + 1j * a[1]  # real pair -> the fixture's complex layout
         b = fix[name]
         scale = np.abs(b).max()
         assert np.abs(a - b).max() / scale < 1e-8, name

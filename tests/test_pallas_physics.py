@@ -17,13 +17,13 @@ from pyspeedy_tpu.testing import make_demo_model
 def _physics_inputs():
     consts, state, _ = make_demo_model(T30L8)
     sp = consts.sp
-    ucos, vcos = S.vort2vel(sp, state["vor"][0], state["div"][0])
-    ug = S.spec2grid(sp, ucos, 2)
-    vg = S.spec2grid(sp, vcos, 2)
-    tg = S.spec2grid(sp, state["t"][0], 1)
-    qg = S.spec2grid(sp, state["tr"][0][0], 1)
-    phig = S.spec2grid(sp, state["phi"], 1)
-    pslg = S.spec2grid(sp, state["ps"][0], 1)
+    ucos, vcos = S.vort2vel_p(sp, state["vor"][0], state["div"][0])
+    ug = S.spec2grid_p(sp, ucos, 2)
+    vg = S.spec2grid_p(sp, vcos, 2)
+    tg = S.spec2grid_p(sp, state["t"][0], 1)
+    qg = S.spec2grid_p(sp, state["tr"][0][:, 0], 1)
+    phig = S.spec2grid_p(sp, state["phi"], 1)
+    pslg = S.spec2grid_p(sp, state["ps"][0], 1)
     bc = tuple(state[n] for n in BC_FIELDS)
     cache = tuple(state[n] for n in CACHE_FIELDS)
     return consts, (ug, vg, tg, qg, phig, pslg, bc, cache,

@@ -45,12 +45,12 @@ def main():
 
     @jax.jit
     def prep(st):
-        ucos, vcos = S.vort2vel(sp, st["vor"][0], st["div"][0])
-        return (S.spec2grid(sp, ucos, 2), S.spec2grid(sp, vcos, 2),
-                S.spec2grid(sp, st["t"][0], 1),
-                S.spec2grid(sp, st["tr"][0][0], 1),
-                S.spec2grid(sp, st["phi"], 1),
-                S.spec2grid(sp, st["ps"][0], 1))
+        ucos, vcos = S.vort2vel_p(sp, st["vor"][0], st["div"][0])
+        return (S.spec2grid_p(sp, ucos, 2), S.spec2grid_p(sp, vcos, 2),
+                S.spec2grid_p(sp, st["t"][0], 1),
+                S.spec2grid_p(sp, st["tr"][0][:, 0], 1),
+                S.spec2grid_p(sp, st["phi"], 1),
+                S.spec2grid_p(sp, st["ps"][0], 1))
 
     ug, vg, tg, qg, phig, pslg = prep(state)
     bc = tuple(state[n] for n in BC_FIELDS)

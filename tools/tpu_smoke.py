@@ -42,11 +42,9 @@ def day_run(device):
         ctx, _ = M.build_step_ctx(cal, 2, 36)
         out = run(state, ctx)
         jax.block_until_ready(out)
-        # complex host readback is UNIMPLEMENTED on this backend: ship the
-        # real/imag planes instead
-        import jax.numpy as jnp
-        ri = jax.jit(lambda c: jnp.stack([c.real, c.imag]))(out["t"][0])
-        t = np.asarray(ri)
+        # Spectral state is a real (2, kx, mx, nx) pair — reads back directly
+        # (complex host readback is UNIMPLEMENTED on this backend).
+        t = np.asarray(out["t"][0])
         err = bool(np.asarray(out["error_flag"]))
     return t[0] + 1j * t[1], err
 
