@@ -143,8 +143,8 @@ class SpectralTransform(NamedTuple):
     dft_inv_re: jnp.ndarray  # (mx, ix) (2-delta_m0) cos(2 pi m i / ix)
     dft_inv_im: jnp.ndarray  # (mx, ix) -(2-delta_m0) sin(2 pi m i / ix)
     # Full-sphere Legendre operators with the hemispheric parity fold (and,
-    # for the direct one, the Gaussian weights) baked in - used by the fused
-    # Pallas transform kernels (ops/pallas_transforms.py):
+    # for the direct one, the Gaussian weights) baked in - the default
+    # (non-dense) einsum transform path contracts against these:
     cpol_inv_full: jnp.ndarray  # (il, mx, nx)
     cpol_dir_full: jnp.ndarray  # (il, mx, nx)
     # Real-pair DFT operators: c indexes (cos, sin) parts. The whole

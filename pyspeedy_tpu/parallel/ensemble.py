@@ -72,18 +72,36 @@ def make_run_steps_batched(consts, mesh=None, shard_space: bool = True,
         dyn, static = split(state)
         ctx_g = jax.tree.map(
             lambda a: a.reshape((-1, group) + a.shape[1:]), ctx)
+        # The last step group runs OUTSIDE the scan so the final values of the
+        # EPHEMERAL_FIELDS (per-step physics diagnostics: precnv, fluxes, ...)
+        # come back member-batched without being carried through every scan
+        # iteration. The reference's parallel_step leaves every member's
+        # diagnostics current (physics.f90:123-226); this matches that at zero
+        # per-step HBM cost.
+        ctx_main = jax.tree.map(lambda a: a[:-1], ctx_g)
+        ctx_last = jax.tree.map(lambda a: a[-1], ctx_g)
+
+        def run_group(st, ctx_t):
+            for j, (fn, _) in enumerate(singles):
+                st = fn(st, {k: v[j] for k, v in ctx_t.items()})
+            return st
 
         def body(d, ctx_t):
             def one(dd):
-                st = {**static, **dd}
-                for j, (fn, _) in enumerate(singles):
-                    st = fn(st, {k: v[j] for k, v in ctx_t.items()})
+                st = run_group({**static, **dd}, ctx_t)
                 return {k: st[k] for k in dd}
 
             return jax.vmap(one)(d), None
 
-        dyn, _ = jax.lax.scan(body, dyn, ctx_g)
-        return {**static, **dyn}
+        dyn, _ = jax.lax.scan(body, dyn, ctx_main)
+
+        def one_final(dd):
+            st = run_group({**static, **dd}, ctx_last)
+            return ({k: st[k] for k in dd},
+                    {k: st[k] for k in M.EPHEMERAL_FIELDS if k in st})
+
+        dyn, eph = jax.vmap(one_final)(dyn)
+        return {**static, **dyn, **eph}
 
     if mesh is None:
         return jax.jit(run, donate_argnums=(0,) if donate else ())

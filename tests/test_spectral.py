@@ -193,26 +193,3 @@ def test_matmul_dft_equals_fft(exact):
     g1 = S.spec2grid(sp_fft, s1, 2)
     g2 = S.spec2grid(sp_mm, s1, 2)
     np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), atol=1e-12)
-
-
-def test_pallas_spec2grid_matches_reference(exact):
-    # The fused Pallas spectral->grid kernel (interpreter mode on CPU) must
-    # match the einsum+DFT implementation.
-    _, sp = exact
-    from pyspeedy_tpu.ops.pallas_transforms import spec2grid_pallas
-    spec = random_trunc_spec(sp, seed=11, batch=(5,))
-    ref = np.asarray(S.spec2grid(sp, spec, 1))
-    out = np.asarray(spec2grid_pallas(sp, spec, block_b=4, interpret=True))
-    # f32 kernel vs f64 reference: tolerance is f32 rounding over ~31
-    # accumulated wavenumber contributions
-    np.testing.assert_allclose(out, ref, rtol=0, atol=1e-4)
-
-
-def test_pallas_grid2spec_matches_reference(exact):
-    _, sp = exact
-    from pyspeedy_tpu.ops.pallas_transforms import grid2spec_pallas
-    rng = np.random.default_rng(12)
-    g = jnp.asarray(rng.standard_normal((5, 48, 96)), dtype=jnp.float32)
-    ref = np.asarray(S.grid2spec(sp, g))
-    out = np.asarray(grid2spec_pallas(sp, g, block_b=4, interpret=True))
-    np.testing.assert_allclose(out, ref, rtol=0, atol=2e-5)

@@ -258,6 +258,26 @@ def test_ens_batched_equals_sequential():
         np.testing.assert_allclose(
             ens_a.members[m]["t_grid"], ens_b.members[m]["t_grid"],
             rtol=0, atol=1e-11, err_msg=f"member {m}")
+    # Per-step physics diagnostics (EPHEMERAL_FIELDS) must be CURRENT after a
+    # batched run, not initialization-time values: the reference's
+    # parallel_step leaves every member's precnv/fluxes/... readable
+    # (physics.f90:123-226). The batched runner returns the final step's
+    # values for every member.
+    from pyspeedy_tpu.physics.driver import DIAG_FIELDS
+    for name in DIAG_FIELDS:
+        for m in range(2):
+            a, b = ens_a.members[m][name], ens_b.members[m][name]
+            close = np.isclose(a, b, rtol=0, atol=1e-11)
+            # Longwave-family diagnostics pass through the integer-temperature
+            # fband lookup (longwave_radiation.f90:87): a ~1e-13 difference in
+            # T between the vmapped and single programs can flip the rounding
+            # at points sitting on a .5 K boundary, moving the flux by
+            # ~1 W/m^2 at isolated points. Allow those rare flips only.
+            frac = 1.0 - close.mean()
+            assert frac < 2e-3, f"{name} member {m}: {frac:.2%} mismatched"
+            assert np.abs(a - b).max() < 5.0, f"{name} member {m}"
+    assert np.abs(ens_a.members[0]["precnv"]).max() > 0, \
+        "diagnostics look like initialization-time zeros"
     # sanity: members actually diverged from each other
     assert np.abs(ens_a.members[0]["t_grid"]
                   - ens_a.members[1]["t_grid"]).max() > 1e-6
