@@ -21,7 +21,7 @@ def test_tpu_vs_cpu_f32_day_drift():
     env.pop("XLA_FLAGS", None)
     r = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "tpu_smoke.py")],
-        capture_output=True, text=True, env=env, timeout=1200)
+        capture_output=True, text=True, env=env, timeout=2700)
     if r.returncode == 2:
         pytest.skip("no TPU attached")
     line = next((ln for ln in r.stdout.splitlines() if ln.startswith("{")),

@@ -49,6 +49,96 @@ def day_run(device):
     return t[0] + 1j * t[1], err
 
 
+def pallas_parity():
+    """The Pallas megakernels (physics chain + grid dynamics, VMEM-tiled —
+    the production batched-ensemble path) vs their plain-XLA twins on
+    IDENTICAL inputs, one call each. Mosaic and XLA lower FMA/transcendental
+    ops with ulp-level differences (measured: 1e-7..5e-6 rel per call), and a
+    leapfrog trajectory amplifies ulps chaotically, so the regression gate is
+    per-kernel single-call tolerance (1e-5), not bitwise trajectories: a
+    broken kernel is off by O(1), far above the gate."""
+    import jax.numpy as jnp
+
+    from pyspeedy_tpu.models import model as M
+    from pyspeedy_tpu.models.tendencies import grid_dynamics_core
+    from pyspeedy_tpu.ops import spectral as S
+    from pyspeedy_tpu.ops.pallas_tiling import tiled_columnwise
+    from pyspeedy_tpu.params import T30L8
+    from pyspeedy_tpu.physics.driver import (grid_physics, BC_FIELDS,
+                                             CACHE_FIELDS)
+    from pyspeedy_tpu.physics.pallas_physics import grid_physics_pallas
+    from pyspeedy_tpu.testing import make_demo_model
+
+    params = dataclasses.replace(T30L8, precision="f32", fft_mode="matmul")
+    M._CONSTS_CACHE.clear()
+    M._RUN_FN_CACHE.clear()
+    M._DEVICE_INIT_CACHE.clear()
+    consts, state, cal = make_demo_model(params)
+    sp, geom = consts.sp, consts.geom
+    B = 8
+
+    def rel_err(a_tree, b_tree):
+        worst = 0.0
+        for a, b in zip(jax.tree.leaves(a_tree), jax.tree.leaves(b_tree)):
+            a, b = np.asarray(a), np.asarray(b)
+            scale = np.abs(b).max() or 1.0
+            worst = max(worst, float(np.abs(a - b).max() / scale))
+        return worst
+
+    rep = lambda x: jnp.broadcast_to(jnp.asarray(x)[None],
+                                     (B,) + np.shape(x))
+
+    @jax.jit
+    def prep(st):
+        ucos, vcos = S.vort2vel_p(sp, st["vor"][0], st["div"][0])
+        return (S.spec2grid_p(sp, ucos, 2), S.spec2grid_p(sp, vcos, 2),
+                S.spec2grid_p(sp, st["t"][0], 1),
+                S.spec2grid_p(sp, st["tr"][0][:, 0], 1),
+                S.spec2grid_p(sp, st["phi"], 1),
+                S.spec2grid_p(sp, st["ps"][0], 1))
+
+    fields = tuple(map(rep, prep(state)))
+    bc = tuple(rep(state[n]) for n in BC_FIELDS)
+    cache = tuple(rep(state[n]) for n in CACHE_FIELDS)
+    ab = jnp.asarray(state["air_absortivity_co2"])
+
+    worst = 0.0
+    for sw in (True, False):
+        ox = jax.jit(jax.vmap(lambda *a: grid_physics(
+            consts, sw, *a[:6], a[6], a[7], ab)))(*fields, bc, cache)
+        op = jax.jit(jax.vmap(lambda *a: grid_physics_pallas(
+            consts, sw, *a[:6], a[6], a[7], ab)))(*fields, bc, cache)
+        jax.block_until_ready((ox, op))
+        worst = max(worst, rel_err(op, ox))
+
+    # grid dynamics core on the same prognostic fields
+    @jax.jit
+    def prep_dyn(st):
+        vor, div, t, tr, ps = (st["vor"][0], st["div"][0], st["t"][0],
+                               st["tr"][0], st["ps"][0])
+        ucos, vcos = S.vort2vel_p(sp, vor, div)
+        psdx, psdy = S.gradient_p(sp, ps)
+        return (S.spec2grid_p(sp, vor, 1), S.spec2grid_p(sp, div, 1),
+                S.spec2grid_p(sp, t, 1),
+                S.spec2grid_p(sp, tr.reshape((2, -1) + tr.shape[-2:]), 1),
+                S.spec2grid_p(sp, ucos, 1), S.spec2grid_p(sp, vcos, 1),
+                S.spec2grid_p(sp, jnp.stack([psdx, psdy], axis=1), 1))
+
+    dyn_fields = prep_dyn(state)
+    il, ix = params.il, params.ix
+    rcos2d = jnp.broadcast_to(jnp.asarray(sp.cosgr[:, None]), (il, ix))
+    coriol2d = jnp.broadcast_to(
+        jnp.asarray(geom.coriol[:, None], dtype=rcos2d.dtype), (il, ix))
+    args = tuple(map(rep, dyn_fields + (rcos2d, coriol2d)))
+    ox = jax.jit(jax.vmap(lambda *a: grid_dynamics_core(consts, *a)))(*args)
+    op = jax.jit(jax.vmap(lambda *a: tiled_columnwise(
+        lambda *b: grid_dynamics_core(consts, *b), a, il)))(*args)
+    jax.block_until_ready((ox, op))
+    worst = max(worst, rel_err(op, ox))
+
+    return worst < 1e-5, worst
+
+
 def main():
     if jax.default_backend() == "cpu":
         print(json.dumps({"ok": False, "reason": "no TPU attached"}))
@@ -62,9 +152,16 @@ def main():
     # scale (the (0,0) mean is ~ 300*sqrt(2))
     scale = np.abs(t_cpu).max()
     drift = float(np.abs(t_tpu - t_cpu).max() / scale)
-    ok = finite and not err_tpu and not err_cpu and drift < 5e-2
+
+    pallas_ok, pallas_rel_err = pallas_parity()
+
+    ok = (finite and not err_tpu and not err_cpu and drift < 5e-2
+          and pallas_ok)
     print(json.dumps({"ok": ok, "finite": finite, "error_flag": err_tpu,
-                      "day1_t_drift_rel": drift}))
+                      "day1_t_drift_rel": drift,
+                      "pallas_bitwise_ok": pallas_rel_err == 0.0,
+                      "pallas_ok": pallas_ok,
+                      "pallas_kernel_max_rel_err": pallas_rel_err}))
     sys.exit(0 if ok else 1)
 
 
