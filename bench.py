@@ -95,20 +95,28 @@ def bench_single(params, consts, M, make_demo_model, n_windows=5,
     return sypd, rates, gflops_s, hbm_gbs
 
 
+MEMBER_CHUNK = 256  # measured throughput knee (BENCH_NOTES round 3)
+
+
 def bench_ensemble(params, consts, M, make_demo_model, n_members,
                    n_repeats=3, days_per_repeat=2):
-    """Median member-steps/s for an n_members batched ensemble, plus the
+    """Median member-steps/s for an n_members batched ensemble (chunked
+    along the member axis past the measured knee, like SpeedyEns), plus the
     achieved HBM GB/s from XLA cost analysis of the batched executable."""
     from pyspeedy_tpu.parallel.ensemble import (broadcast_state,
                                                 make_run_steps_batched)
     n_day = params.nsteps
     _, state1, cal = make_demo_model(params)
-    batched = broadcast_state(state1, n_members)
-    run = make_run_steps_batched(consts, phase=2, donate=True)
+    chunk = (MEMBER_CHUNK
+             if n_members > MEMBER_CHUNK and n_members % MEMBER_CHUNK == 0
+             else n_members)
+    chunks = [broadcast_state(state1, chunk)
+              for _ in range(n_members // chunk)]
+    run = make_run_steps_batched(consts, phase=2, donate=False)
 
     ctx, cal = M.build_step_ctx(cal, 2, n_day)
-    batched = run(batched, ctx)
-    jax.block_until_ready(batched)  # compile + warm-up
+    chunks = [run(b, ctx) for b in chunks]
+    jax.block_until_ready(chunks)  # compile + warm-up
 
     rates = []
     stepno = 2 + n_day
@@ -116,9 +124,9 @@ def bench_ensemble(params, consts, M, make_demo_model, n_members,
         t0 = time.perf_counter()
         for d in range(days_per_repeat):
             ctx, cal = M.build_step_ctx(cal, stepno, n_day)
-            batched = run(batched, ctx)
+            chunks = [run(b, ctx) for b in chunks]
             stepno += n_day
-        jax.block_until_ready(batched)
+        jax.block_until_ready(chunks)
         wall = time.perf_counter() - t0
         rates.append(n_members * days_per_repeat * n_day / wall)
 
@@ -126,15 +134,16 @@ def bench_ensemble(params, consts, M, make_demo_model, n_members,
     hbm_gbs = None
     try:
         # Post-hoc lower+compile hits the persistent compilation cache.
-        ca = run.lower(batched, ctx).compile().cost_analysis()
+        ca = run.lower(chunks[0], ctx).compile().cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
         if ca and ca.get("bytes accessed"):
-            day_s = n_members * n_day / msps
-            hbm_gbs = float(ca["bytes accessed"]) / day_s / 1e9
+            day_s = n_members * n_day / msps  # wall time per simulated day
+            hbm_gbs = (float(ca["bytes accessed"])
+                       * (n_members // chunk) / day_s / 1e9)
     except Exception:
         pass
-    _log(f"bench: ensemble {n_members}: "
+    _log(f"bench: ensemble {n_members} (chunks of {chunk}): "
          f"{[round(r) for r in rates]} member-steps/s -> median {msps:.0f}"
          + (f", {hbm_gbs:.0f} GB/s accessed" if hbm_gbs else ""))
     return msps, hbm_gbs

@@ -66,6 +66,11 @@ class Consts:
     # tiles (all intermediates in VMEM) instead of XLA fusions. Applies only
     # to statically shortwave-specialized steps; see physics/pallas_physics.
     pallas_physics: bool = False
+    # Run the whole spectral side of each step (flux combination, linear
+    # tendencies, implicit correction, diffusion, leapfrog) as one Pallas
+    # program per member (models/spectral_glue.py). Like pallas_physics it
+    # pays off only on the batched-ensemble path.
+    pallas_spectral: bool = False
     # Concatenate all per-step transforms into single mega-batched calls.
     # A large win for single-member runs (fewer launches, bigger matmuls);
     # measured HARMFUL on the vmapped ensemble path on TPU (the concats
@@ -124,6 +129,9 @@ def build_consts(params: ModelParams, **flags) -> tuple[Consts, Geometry]:
     # identical on TPU) is the default on TPU; elsewhere the flag selects
     # the interpreter, which is only useful for tests.
     flags.setdefault("pallas_physics", jax.default_backend() == "tpu")
+    # pallas_spectral stays opt-in: the per-member whole-state kernel was
+    # measured 1.8x SLOWER than the XLA glue at 256 members (table re-reads
+    # and tiny per-instance DMAs dominate; BENCH_NOTES round 3).
     sp = S.build_spectral(params, geom_np, use_matmul_fft=use_matmul)
     hd = build_hordif(params, geom_np)
     gp = build_geopot(params, geom_np)
@@ -246,7 +254,8 @@ def _make_device_init(consts: Consts, geom_np: Geometry):
 
     # Initialization runs at batch=1: the XLA path wins there (see
     # make_run_steps).
-    consts = dataclasses.replace(consts, pallas_physics=False)
+    consts = dataclasses.replace(consts, pallas_physics=False,
+                                 pallas_spectral=False)
     params = consts.params
     sp = consts.sp
     im_half = build_implicit(params, geom_np, consts.hd, 0.5 * params.delt)
@@ -452,8 +461,9 @@ def make_run_steps(consts: Consts, phase: int | None = None):
     The Pallas megakernels only pay off at ensemble batch sizes (at batch=1
     the step is launch-bound and the kernels add launches), so the
     single-member integrator always runs the XLA path; the batched runner
-    (parallel/ensemble.py) keeps the consts flag."""
-    consts = dataclasses.replace(consts, pallas_physics=False)
+    (parallel/ensemble.py) keeps the consts flags."""
+    consts = dataclasses.replace(consts, pallas_physics=False,
+                                 pallas_spectral=False)
     if phase is None:
         single_step = make_single_step(consts)
 

@@ -169,6 +169,24 @@ def get_grid_point_tendencies(consts, state, j2: int, physics_fn=None, ctx=None)
     Returns (vordt, divdt, tdt, psdt, trdt, state) where state carries the
     updated geopotential and any physics diagnostics.
     """
+    specs, psdt, state = grid_tendency_specs(consts, state, j2, physics_fn,
+                                             ctx)
+    ntr = consts.params.ntr
+    kx = consts.params.kx
+    vordt, divdt, tdt, trdt_flat = combine_specs(consts, specs, ntr, kx)
+    trdt = trdt_flat.reshape(
+        (2, ntr, kx) + trdt_flat.shape[-2:])
+    return vordt, divdt, tdt, psdt, trdt, state
+
+
+def grid_tendency_specs(consts, state, j2: int, physics_fn=None, ctx=None):
+    """The transform-and-grid-kernel part of get_grid_point_tendencies:
+    inverse transforms -> grid dynamics core (Pallas-tileable) -> physics ->
+    direct transforms. Returns (specs, psdt, state) where specs is the list
+    of direct-transform outputs (wind/flux pairs then ke, ttend, tracer
+    tendencies) still awaiting the spectral-side combination
+    (tendencies.f90:238-268 second half), and psdt is the spectral log-ps
+    tendency (grid part, already mean-masked)."""
     sp = consts.sp
     geom = consts.geom
     im: ImplicitTables = consts.implicit
@@ -241,6 +259,16 @@ def get_grid_point_tendencies(consts, state, j2: int, physics_fn=None, ctx=None)
     inputs += [trtend[i] for i in range(ntr)]
     specs = _multi_grid2spec(sp, inputs, consts.fuse_transforms)
 
+    return specs, psdt, state
+
+
+def combine_specs(consts, specs, ntr: int, kx: int):
+    """Spectral combination of the direct-transform outputs
+    (tendencies.f90:244-268): flux pairs -> vor/div/T/tracer tendencies,
+    KE Laplacian. Pure pointwise/shift spectral algebra (Mosaic-compatible:
+    runs inside the spectral-glue Pallas kernel). Tracer tendencies come back
+    FLAT: (2, ntr*kx, mx, nx)."""
+    sp = consts.sp
     vordt, divdt = S.vel2vort_p(sp, specs[0], specs[1])
     _, tdt_flux = S.vel2vort_p(sp, specs[2], specs[3])
     tr_fluxes = [S.vel2vort_p(sp, specs[4 + 2 * i], specs[5 + 2 * i])[1]
@@ -248,27 +276,39 @@ def get_grid_point_tendencies(consts, state, j2: int, physics_fn=None, ctx=None)
     base = 4 + 2 * ntr
     ke_spec = specs[base]
     tdt = tdt_flux + specs[base + 1]
-    trdt = jnp.stack([tr_fluxes[i] + specs[base + 2 + i]
-                      for i in range(ntr)], axis=1)
+    trdt_flat = jnp.concatenate(
+        [tr_fluxes[i] + specs[base + 2 + i] for i in range(ntr)], axis=1)
 
     divdt = divdt - S.laplacian(sp, ke_spec)
 
-    return vordt, divdt, tdt, psdt, trdt, state
+    return vordt, divdt, tdt, trdt_flat
 
 
-def get_spectral_tendencies(consts, state, divdt, tdt, psdt, j2: int):
-    """Linear (reference-profile) spectral tendencies
-    (tendencies.f90:283-352). Updates state["phi"] from time level j2."""
+def spectral_linear_tendencies(consts, div, ps, phi, divdt, tdt, psdt,
+                               mosaic_safe: bool = False):
+    """Linear (reference-profile) spectral tendencies on explicit arrays
+    (tendencies.f90:283-352). div/phi are (2, kx, mx, nx), ps (2, mx, nx).
+
+    mosaic_safe selects kernel-compatible formulations (log-shift prefix sums
+    instead of jnp.cumsum — a while loop on TPU with no Mosaic lowering — and
+    broadcast-sum instead of einsum). The summation order differs at the ulp
+    level from the sequential forms, so the default XLA path keeps the
+    reference-ordered originals (golden fixtures pin that trajectory)."""
     sp = consts.sp
     geom = consts.geom
     im: ImplicitTables = consts.implicit
-    dhs = geom.dhs
-    kx = dhs.shape[0]
+    # Host-side numpy columns: Mosaic kernels cannot close over traced 1-D
+    # constants; >=3-D numpy broadcasts are hoisted cleanly.
+    dhs_np = np.asarray(geom.dhs)
+    dhsr_c = np.asarray(geom.dhsr)[:, None, None]
+    tref_np = np.asarray(im.tref)
+    tref2_c = np.asarray(im.tref2)[:, None, None]
+    tref3_c = np.asarray(im.tref3)[:, None, None]
 
-    div = state["div"][j2]  # (2, kx, mx, nx)
-    tref = im.tref
-
-    dmeanc = jnp.einsum("k,ckmn->cmn", dhs.astype(div.dtype), div)
+    if mosaic_safe:
+        dmeanc = jnp.sum(dhs_np[None, :, None, None] * div, axis=1)
+    else:
+        dmeanc = jnp.einsum("k,ckmn->cmn", geom.dhs.astype(div.dtype), div)
     not00 = np.ones((psdt.shape[-2], psdt.shape[-1]))
     not00[0, 0] = 0.0
     psdt = (psdt - dmeanc) * jnp.asarray(not00, dtype=dmeanc.dtype)
@@ -276,27 +316,46 @@ def get_spectral_tendencies(consts, state, divdt, tdt, psdt, j2: int):
     # sigma-dot on half levels (2, kx+1, mx, nx); note the reference
     # accumulates only through k=kx-1 so the bottom boundary stays zero.
     zero2 = jnp.zeros_like(div[:, :1])
-    sigdtc = jnp.concatenate(
-        [zero2,
-         -jnp.cumsum(dhs[:-1, None, None] * (div[:, :-1] - dmeanc[:, None]),
-                     axis=1),
-         zero2],
-        axis=1)
+    flux = dhs_np[:-1, None, None] * (div[:, :-1] - dmeanc[:, None])
+    if mosaic_safe:
+        csum = _prefix_cumsum_axis1(flux)
+    else:
+        csum = jnp.cumsum(flux, axis=1)
+    sigdtc = jnp.concatenate([zero2, -csum, zero2], axis=1)
 
     dumk = jnp.concatenate(
-        [zero2, sigdtc[:, 1:-1] * (tref[1:] - tref[:-1])[:, None, None],
+        [zero2, sigdtc[:, 1:-1] * (tref_np[1:] - tref_np[:-1])[:, None, None],
          zero2], axis=1)
 
-    tdt = (tdt - (dumk[:, 1:] + dumk[:, :-1]) * geom.dhsr[:, None, None]
-           + im.tref3[:, None, None] * (sigdtc[:, 1:] + sigdtc[:, :-1])
-           - im.tref2[:, None, None] * dmeanc[:, None])
+    tdt = (tdt - (dumk[:, 1:] + dumk[:, :-1]) * dhsr_c
+           + tref3_c * (sigdtc[:, 1:] + sigdtc[:, :-1])
+           - tref2_c * dmeanc[:, None])
 
+    divdt = divdt - S.laplacian(
+        sp, phi + pc.RGAS * tref_np[:, None, None] * ps[:, None])
+
+    return divdt, tdt, psdt
+
+
+def _prefix_cumsum_axis1(x):
+    """Prefix sums along axis 1 via log-depth shift-adds (Mosaic-compatible;
+    see _prefix_cumsum)."""
+    shift = 1
+    while shift < x.shape[1]:
+        x = x + jnp.concatenate(
+            [jnp.zeros_like(x[:, :shift]), x[:, :-shift]], axis=1)
+        shift *= 2
+    return x
+
+
+def get_spectral_tendencies(consts, state, divdt, tdt, psdt, j2: int):
+    """State-dict wrapper of spectral_linear_tendencies: updates
+    state["phi"] from time level j2 first (tendencies.f90:333-336)."""
     state = dict(state)
     state["phi"] = get_geopotential(consts.gp, state["t"][j2], state["phis"])
-    divdt = divdt - S.laplacian(
-        sp,
-        state["phi"] + pc.RGAS * tref[:, None, None] * state["ps"][j2][:, None])
-
+    divdt, tdt, psdt = spectral_linear_tendencies(
+        consts, state["div"][j2], state["ps"][j2], state["phi"],
+        divdt, tdt, psdt)
     return divdt, tdt, psdt, state
 
 

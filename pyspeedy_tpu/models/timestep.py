@@ -41,11 +41,27 @@ def step(consts, state, j1: int, j2: int, dt: float, physics_fn=None, ctx=None):
 
     j1/j2 are the reference's 1-based time-level selectors; dt the step
     length. consts.implicit must hold the tables for this dt.
+
+    For the default semi-implicit configuration (alph >= 0.5) the whole
+    spectral side — flux combination, linear tendencies, implicit
+    correction, diffusion, leapfrog — runs through
+    spectral_glue.apply_spectral_update: one Pallas program per member on
+    the TPU batched path, plain XLA (bitwise-reference-ordered) otherwise.
+    The explicit gravity-wave branch below (alph < 0.5, dead at the
+    reference default) keeps the original op-by-op formulation.
     """
     params = consts.params
     sp = consts.sp
     im = consts.implicit
     hd = consts.hd
+
+    if params.alph >= 0.5:
+        from .spectral_glue import apply_spectral_update
+        from .tendencies import grid_tendency_specs
+
+        specs, psdt, state = grid_tendency_specs(
+            consts, state, j2 - 1, physics_fn, ctx)
+        return apply_spectral_update(consts, state, specs, psdt, j1, dt)
 
     vordt, divdt, tdt, psdt, trdt, state = get_tendencies(
         consts, state, j2 - 1, physics_fn, ctx)

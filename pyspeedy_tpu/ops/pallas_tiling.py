@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 
-__all__ = ["tiled_columnwise"]
+__all__ = ["tiled_columnwise", "whole_kernel"]
 
 
 def _pad2d(shape):
@@ -49,6 +49,65 @@ def _spec_for(shape, tile, il):
 
         return pl.BlockSpec(block, index)
     return pl.BlockSpec(tuple(shape), _zero_index(nd))
+
+
+def whole_kernel(fn, args, interpret=False):
+    """Run `fn(*args) -> pytree` as ONE Pallas program with every operand and
+    output resident whole in VMEM (grid=()): the execution mode for the
+    spectral-glue megakernel, whose per-member arrays are tiny (~32 KB each)
+    but whose XLA execution scatters into dozens of DMA-bounded fusions.
+    Under vmap the member axis becomes the pallas grid dimension, one program
+    per member. Captured numpy/jnp constants are hoisted into kernel inputs
+    (Pallas kernels may not close over arrays)."""
+    args = tuple(args)
+    n_args = len(args)
+    interpret = interpret or jax.default_backend() != "tpu"
+
+    flat_fn_tree = {}
+
+    def flat_fn(*a):
+        out = fn(*a)
+        leaves, treedef = jax.tree.flatten(out)
+        flat_fn_tree["treedef"] = treedef
+        return tuple(leaves)
+
+    closed = jax.make_jaxpr(flat_fn)(
+        *[jax.ShapeDtypeStruct(np.shape(x), jnp.result_type(x))
+          for x in args])
+    hoisted = list(closed.consts)
+    hoisted_shapes = [np.shape(c) for c in hoisted]
+    hoisted_in = [jnp.asarray(c).reshape(_pad2d(np.shape(c)))
+                  for c in hoisted]
+
+    # grid=(): index maps take no grid arguments.
+    zi = lambda nd: (lambda *_: (0,) * nd)
+    inputs = args + tuple(hoisted_in)
+    in_specs = [pl.BlockSpec(np.shape(x), zi(np.ndim(x))) for x in inputs]
+
+    out_aval = jax.eval_shape(fn, *args)
+    flat_out, out_treedef = jax.tree.flatten(out_aval)
+    out_shape = [jax.ShapeDtypeStruct(a.shape, a.dtype) for a in flat_out]
+    out_specs = [pl.BlockSpec(a.shape, zi(len(a.shape))) for a in flat_out]
+
+    def kernel(*refs):
+        in_refs = refs[:len(inputs)]
+        out_refs = refs[len(inputs):]
+        vals = [r[...] for r in in_refs[:n_args]]
+        consts_v = [r[...].reshape(s) for r, s in
+                    zip(in_refs[n_args:], hoisted_shapes)]
+        outs = jax.core.eval_jaxpr(closed.jaxpr, consts_v, *vals)
+        for r, o in zip(out_refs, outs):
+            r[...] = o
+
+    flat = pl.pallas_call(
+        kernel,
+        grid=(),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*inputs)
+    return jax.tree.unflatten(out_treedef, flat)
 
 
 def tiled_columnwise(fn, args, il, tile=None, interpret=False):

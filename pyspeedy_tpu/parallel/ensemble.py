@@ -16,7 +16,20 @@ import jax.numpy as jnp
 from ..models import model as M
 from .mesh import ensemble_state_sharding
 
-__all__ = ["broadcast_state", "make_run_steps_batched", "shard_ensemble"]
+__all__ = ["broadcast_state", "make_run_steps_batched", "shard_ensemble",
+           "BF16_CACHE_FIELDS"]
+
+# The nstrad shortwave cache is the largest carried block of the batched
+# state (rad_tau2 alone is ~590 KB/member, ~22% of the carry). Carrying it
+# in bfloat16 halves that HBM traffic; the up/down casts at the step-group
+# boundary fuse into neighboring elementwise work. Numeric cost: one bf16
+# rounding (~0.4% rel) per shortwave rewrite on radiative fluxes/heating —
+# bounded, diagnostic-path only (the leapfrog prognostics stay full
+# precision). Default ON for the TPU f32 fast path; parity paths (CPU/f64)
+# keep full precision.
+BF16_CACHE_FIELDS = frozenset({
+    "tt_rsw", "rad_tau2", "rad_strat_corr", "tsr", "ssrd", "ssr",
+    "qcloud_equiv"})
 
 
 def broadcast_state(state: dict, n_members: int) -> dict:
@@ -37,20 +50,37 @@ def broadcast_state(state: dict, n_members: int) -> dict:
 
 def make_run_steps_batched(consts, mesh=None, shard_space: bool = True,
                            donate: bool = True, phase: int | None = None,
-                           fuse_transforms: bool = False):
+                           fuse_transforms: bool = False,
+                           bf16_cache: bool | None = None):
     """Jitted n-step integrator over a member-batched state (leading member
     axis on DYNAMIC_FIELDS only). When a mesh is given, the state is
     constrained to the ensemble/space sharding layout.
 
     phase: current_step % 3 at the scan start; when given, the scan runs over
     step-triples with statically-placed shortwave (see model.make_run_steps)
-    and requires n_steps % 3 == 0."""
+    and requires n_steps % 3 == 0.
+
+    bf16_cache: carry the shortwave radiation cache (BF16_CACHE_FIELDS) in
+    bfloat16 across scan iterations; defaults to on for TPU f32 runs. The
+    returned state is cast back to the model dtype."""
     import dataclasses
 
     # Per-field transforms batch well already under vmap; the fused
     # mega-concat variant regressed the batched path on TPU in round-1
     # profiling (see Consts), so it stays opt-in here.
     consts = dataclasses.replace(consts, fuse_transforms=fuse_transforms)
+    if bf16_cache is None:
+        bf16_cache = (jax.default_backend() == "tpu"
+                      and consts.params.precision == "f32")
+    mdtype = consts.params.dtype
+
+    def cache_down(d):
+        return {k: (v.astype(jnp.bfloat16) if k in BF16_CACHE_FIELDS else v)
+                for k, v in d.items()}
+
+    def cache_up(d):
+        return {k: (v.astype(mdtype) if k in BF16_CACHE_FIELDS else v)
+                for k, v in d.items()}
 
     # Carry only fields whose previous-step value is actually consumed;
     # EPHEMERAL_FIELDS are recomputed before use every step (see model.py).
@@ -70,6 +100,8 @@ def make_run_steps_batched(consts, mesh=None, shard_space: bool = True,
 
     def run(state, ctx):
         dyn, static = split(state)
+        if bf16_cache:
+            dyn = cache_down(dyn)
         ctx_g = jax.tree.map(
             lambda a: a.reshape((-1, group) + a.shape[1:]), ctx)
         # The last step group runs OUTSIDE the scan so the final values of the
@@ -88,14 +120,19 @@ def make_run_steps_batched(consts, mesh=None, shard_space: bool = True,
 
         def body(d, ctx_t):
             def one(dd):
+                if bf16_cache:
+                    dd = cache_up(dd)
                 st = run_group({**static, **dd}, ctx_t)
-                return {k: st[k] for k in dd}
+                out = {k: st[k] for k in dd}
+                return cache_down(out) if bf16_cache else out
 
             return jax.vmap(one)(d), None
 
         dyn, _ = jax.lax.scan(body, dyn, ctx_main)
 
         def one_final(dd):
+            if bf16_cache:
+                dd = cache_up(dd)
             st = run_group({**static, **dd}, ctx_last)
             return ({k: st[k] for k in dd},
                     {k: st[k] for k in M.EPHEMERAL_FIELDS if k in st})
@@ -104,15 +141,37 @@ def make_run_steps_batched(consts, mesh=None, shard_space: bool = True,
         return {**static, **dyn, **eph}
 
     if mesh is None:
-        return jax.jit(run, donate_argnums=(0,) if donate else ())
+        jrun = jax.jit(run, donate_argnums=(0,) if donate else ())
+    else:
+        def run_sharded(state, ctx):
+            sh = ensemble_state_sharding(mesh, state, shard_space)
+            state = jax.lax.with_sharding_constraint(state, sh)
+            out = run(state, ctx)
+            # The output gains member-batched EPHEMERAL diagnostics the
+            # (stripped) input did not have: rebuild shardings on the output.
+            sh_out = ensemble_state_sharding(mesh, out, shard_space,
+                                             eph_batched=True)
+            return jax.lax.with_sharding_constraint(out, sh_out)
 
-    def run_sharded(state, ctx):
-        sh = ensemble_state_sharding(mesh, state, shard_space)
-        state = jax.lax.with_sharding_constraint(state, sh)
-        state = run(state, ctx)
-        return jax.lax.with_sharding_constraint(state, sh)
+        jrun = jax.jit(run_sharded, donate_argnums=(0,) if donate else ())
 
-    return jax.jit(run_sharded, donate_argnums=(0,) if donate else ())
+    # EPHEMERAL fields are never read before the (physics-on) step rewrites
+    # them, and the output returns them member-batched — feeding that output
+    # back in would change the jit signature (unbatched -> batched
+    # ephemerals) and trigger a full recompile on the second call. Strip
+    # them OUTSIDE the jit so chained day-by-day calls hit one executable.
+    # (With physics off the coupler still reads hfluxn, so nothing is
+    # stripped there.)
+    stripped = M.EPHEMERAL_FIELDS if consts.physics_on else frozenset()
+
+    def _strip(state):
+        return {k: v for k, v in state.items() if k not in stripped}
+
+    def run_chained(state, ctx):
+        return jrun(_strip(state), ctx)
+
+    run_chained.lower = lambda state, ctx: jrun.lower(_strip(state), ctx)
+    return run_chained
 
 
 def shard_ensemble(mesh, state: dict, shard_space: bool = True) -> dict:

@@ -77,9 +77,14 @@ def _spec_for_array(name: str, arr, batched: bool, shard_space: bool,
     return P(*lead, *([None] * body_ndim))
 
 
-def ensemble_state_sharding(mesh: Mesh, state: dict, shard_space: bool = True):
+def ensemble_state_sharding(mesh: Mesh, state: dict, shard_space: bool = True,
+                            eph_batched: bool = False):
     """NamedSharding pytree for a member-batched state dict (DYNAMIC_FIELDS
-    carry a leading member axis; the rest are member-shared)."""
+    carry a leading member axis; the rest are member-shared).
+
+    eph_batched: the batched runner's OUTPUT carries the final step's
+    EPHEMERAL diagnostics member-batched (parallel/ensemble.py); its INPUT
+    does not carry them at all."""
     from ..models.model import DYNAMIC_FIELDS, EPHEMERAL_FIELDS
 
     n_space = mesh.shape["space"]
@@ -89,9 +94,8 @@ def ensemble_state_sharding(mesh: Mesh, state: dict, shard_space: bool = True):
         if name in ("sppt_key",):
             shardings[name] = NamedSharding(mesh, P("ensemble"))
             continue
-        # Ephemeral fields are not member-batched (parallel/ensemble.py):
-        # they keep single-member shapes and are recomputed inside the step.
-        batched = name in DYNAMIC_FIELDS and name not in EPHEMERAL_FIELDS
+        batched = name in DYNAMIC_FIELDS and (
+            eph_batched or name not in EPHEMERAL_FIELDS)
         shardings[name] = jax.tree.map(
             lambda a: NamedSharding(
                 mesh, _spec_for_array(name, a, batched, shard_space, n_space,

@@ -535,8 +535,15 @@ class SpeedyEns:
             for callback in callbacks:
                 callback(self)
 
+    # Measured throughput knee (BENCH_NOTES round 3): one 1024-wide scan
+    # runs ~25% slower than four sequential 256-wide scans of the same
+    # executable (HBM pressure at the wide shapes), so large ensembles
+    # advance in member chunks.
+    MEMBER_CHUNK = 256
+
     def _advance_batched(self, n_steps):
-        """One vmapped scan over all members (zero member communication)."""
+        """Vmapped scans over all members (zero member communication),
+        chunked along the member axis past the measured throughput knee."""
         import jax.numpy as _jnp
 
         from .models.model import DYNAMIC_FIELDS, EPHEMERAL_FIELDS
@@ -545,8 +552,13 @@ class SpeedyEns:
         lead = self.members[0]
         if not hasattr(self, "_batched_run"):
             self._batched_run = {}
+
+        n = len(self.members)
+        chunk = (self.MEMBER_CHUNK
+                 if n > self.MEMBER_CHUNK and n % self.MEMBER_CHUNK == 0
+                 else n)
         phase = (lead._current_step % 3) if n_steps % 3 == 0 else None
-        key = (id(lead._consts), phase)
+        key = (id(lead._consts), phase, chunk)
         if key not in self._batched_run:
             self._batched_run[key] = make_run_steps_batched(
                 lead._consts, donate=False, phase=phase)
@@ -554,21 +566,21 @@ class SpeedyEns:
 
         import jax as _jax
 
-        state = dict(lead._state)
-        for name in list(state.keys()):
-            # Ephemeral fields are not carried across steps (model.py); they
-            # keep their single-member shapes and are dropped from the output.
-            if name in DYNAMIC_FIELDS and name not in EPHEMERAL_FIELDS:
-                state[name] = _jax.tree.map(
-                    lambda *leaves: _jnp.stack(leaves),
-                    *[m._state[name] for m in self.members])
         ctx, cal = M.build_step_ctx(lead._cal, lead._current_step, n_steps)
-        out = run(state, ctx)
-        for m, member in enumerate(self.members):
-            st = dict(member._state)
-            for name in DYNAMIC_FIELDS:
-                if name in out:
-                    st[name] = _jax.tree.map(lambda a: a[m], out[name])
-            member._state = st
-            member._current_step += n_steps
-            member._cal = dataclasses.replace(cal)
+        for c0 in range(0, n, chunk):
+            sub = self.members[c0:c0 + chunk]
+            state = dict(sub[0]._state)
+            for name in list(state.keys()):
+                if name in DYNAMIC_FIELDS and name not in EPHEMERAL_FIELDS:
+                    state[name] = _jax.tree.map(
+                        lambda *leaves: _jnp.stack(leaves),
+                        *[m._state[name] for m in sub])
+            out = run(state, ctx)
+            for m, member in enumerate(sub):
+                st = dict(member._state)
+                for name in DYNAMIC_FIELDS:
+                    if name in out:
+                        st[name] = _jax.tree.map(lambda a: a[m], out[name])
+                member._state = st
+                member._current_step += n_steps
+                member._cal = dataclasses.replace(cal)

@@ -1,0 +1,37 @@
+"""The spectral-glue Pallas path (models/spectral_glue.py, interpret mode on
+CPU) must track the default XLA glue to summation-order ulps: the two paths
+run the SAME code, differing only in the mosaic_safe cumsum/einsum
+formulations (see tendencies.spectral_linear_tendencies)."""
+
+import dataclasses
+
+import numpy as np
+
+from pyspeedy_tpu.models import model as M
+from pyspeedy_tpu.params import T30L8
+from pyspeedy_tpu.testing import make_demo_model
+from pyspeedy_tpu.parallel.ensemble import (broadcast_state,
+                                            make_run_steps_batched)
+
+
+def test_pallas_spectral_glue_matches_xla():
+    params = dataclasses.replace(T30L8, fft_mode="matmul")
+    consts, state, cal = make_demo_model(params)
+    b = broadcast_state(state, 2)
+    ctx, _ = M.build_step_ctx(cal, 2, 3)
+
+    run_x = make_run_steps_batched(
+        dataclasses.replace(consts, pallas_spectral=False), phase=2,
+        donate=False)
+    run_p = make_run_steps_batched(
+        dataclasses.replace(consts, pallas_spectral=True), phase=2,
+        donate=False)
+    ox = run_x(b, ctx)
+    op = run_p(b, ctx)
+    for name in ("vor", "div", "t", "ps", "tr"):
+        for lev in range(2):
+            a = np.asarray(op[name][lev])
+            c = np.asarray(ox[name][lev])
+            scale = np.abs(c).max() or 1.0
+            rel = np.abs(a - c).max() / scale
+            assert rel < 1e-11, f"{name}[{lev}]: rel {rel:.3e}"

@@ -57,7 +57,7 @@ def main():
     for label, c in [("full", consts),
                      ("dynamics", dataclasses.replace(consts,
                                                       physics_on=False))]:
-        run = make_run_steps_batched(c, donate=False)
+        run = make_run_steps_batched(c, donate=False, phase=2)
         w = timed(run, bstate, ctx)
         results[label] = w
         print(f"{label}: {w*1e3/n_steps:.2f} ms/step "

@@ -95,6 +95,39 @@ def main():
 
     res["einsum_mmajor"] = timed_loop(ein_mM, x_mM, iters)
 
+    # Parity-split half-size dense: fold hemispheres (A = S+N_flipped,
+    # D = N_flipped-S), one (iy*mx, mx*nx/2) matmul per parity, interleave
+    # even/odd output columns. 4x fewer FLOPs than `dense` (iy vs il rows,
+    # nx/2 cols); the fold/interleave are elementwise-fusable.
+    iy = il // 2
+    wt3 = np.asarray(sp.wt)[:, None, None]
+    ce = np.asarray(sp.cpol_even)[:iy] * wt3   # (iy, mx, nx) even-n nonzero
+    co = np.asarray(sp.cpol_odd)[:iy] * wt3
+    idx = np.arange(mx)
+    WE = np.zeros((iy, mx, mx, nx // 2), np.float32)
+    WO = np.zeros((iy, mx, mx, nx // 2), np.float32)
+    WE[:, idx, idx, :] = ce[:, :, 0::2]
+    WO[:, idx, idx, :] = co[:, :, 1::2]
+    WEd = jnp.asarray(WE.reshape(iy * mx, mx * (nx // 2)))
+    WOd = jnp.asarray(WO.reshape(iy * mx, mx * (nx // 2)))
+
+    def dense_parity(c):
+        s = c[..., :iy, :]
+        nf = c[..., iy:, :][..., ::-1, :]
+        A = (s + nf).reshape(*c.shape[:-2], iy * mx)
+        D = (nf - s).reshape(*c.shape[:-2], iy * mx)
+        se = (A @ WEd).reshape(*c.shape[:-2], mx, nx // 2)
+        so = (D @ WOd).reshape(*c.shape[:-2], mx, nx // 2)
+        return jnp.stack([se, so], axis=-1).reshape(*c.shape[:-2], mx, nx)
+
+    res["dense_parity"] = timed_loop(dense_parity, x, iters)
+
+    # correctness vs dense
+    a = dense(x)
+    b = dense_parity(x)
+    err = float(jnp.abs(a - b).max() / jnp.abs(a).max())
+    res["parity_vs_dense_relerr"] = err
+
     print(json.dumps({"members": n_members,
                       **{k: round(v * 1e6, 1) for k, v in res.items()},
                       "unit": "us_per_call"}))

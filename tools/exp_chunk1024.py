@@ -40,7 +40,7 @@ def main():
 
     for label, width in (("wide", total), ("chunked", chunk)):
         n_chunks = total // width
-        run = make_run_steps_batched(consts, phase=2, donate=True)
+        run = make_run_steps_batched(consts, phase=2, donate=False)
         states = [broadcast_state(state, width) for _ in range(n_chunks)]
         cal2 = dataclasses.replace(cal)
         ctx, cal2 = M.build_step_ctx(cal2, 2, n_day)

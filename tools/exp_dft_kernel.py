@@ -60,15 +60,17 @@ def chain(gs):
 
 def xla_step(tabs, fre, fim):
     inv_re, inv_im, fwd_re, fwd_im = tabs
-    gs = [fre[:, i] @ inv_re + fim[:, i] @ inv_im for i in range(NFIELDS)]
+    gs = [fre[i] @ inv_re + fim[i] @ inv_im for i in range(NFIELDS)]
     gs = chain(gs)
     orels = [g @ fwd_re for g in gs]
     oims = [g @ fwd_im for g in gs]
-    return jnp.stack(orels, axis=1), jnp.stack(oims, axis=1)
+    return jnp.stack(orels, axis=0), jnp.stack(oims, axis=0)
 
 
-def pallas_kernel_dot(tabs, fre_ref, fim_ref, ore_ref, oim_ref):
-    inv_re, inv_im, fwd_re, fwd_im = tabs
+def pallas_kernel_dot(fre_ref, fim_ref, ire_ref, iim_ref, fwre_ref,
+                      fwim_ref, ore_ref, oim_ref):
+    inv_re, inv_im = ire_ref[...], iim_ref[...]
+    fwd_re, fwd_im = fwre_ref[...], fwim_ref[...]
     fre = fre_ref[...]
     fim = fim_ref[...]
     nf, kx, tl, mx = fre.shape
@@ -90,8 +92,10 @@ def pallas_kernel_dot(tabs, fre_ref, fim_ref, ore_ref, oim_ref):
                              ).reshape(kx, tl, mx)
 
 
-def pallas_kernel_mul(tabs, fre_ref, fim_ref, ore_ref, oim_ref):
-    inv_re, inv_im, fwd_re, fwd_im = tabs
+def pallas_kernel_mul(fre_ref, fim_ref, ire_ref, iim_ref, fwre_ref,
+                      fwim_ref, ore_ref, oim_ref):
+    inv_re, inv_im = ire_ref[...], iim_ref[...]
+    fwd_re, fwd_im = fwre_ref[...], fwim_ref[...]
     fre = fre_ref[...]
     fim = fim_ref[...]
     nf, kx, tl, mx = fre.shape
@@ -107,21 +111,23 @@ def pallas_kernel_mul(tabs, fre_ref, fim_ref, ore_ref, oim_ref):
 
 
 def make_pallas_step(kernel, tabs):
-    tabs = tuple(np.asarray(t) for t in tabs)
+    tabs_j = tuple(jnp.asarray(t) for t in tabs)
 
     def step(fre, fim):
         # fre/fim: (NFIELDS, KX, IL, MX); tile over IL
         spec_in = pl.BlockSpec((NFIELDS, KX, TILE, MX),
                                lambda t: (0, 0, t, 0))
+        tab_specs = [pl.BlockSpec(t.shape, lambda *_: (0, 0))
+                     for t in tabs_j]
         out_shape = [jax.ShapeDtypeStruct((NFIELDS, KX, IL, MX), fre.dtype)
                      for _ in range(2)]
         ore, oim = pl.pallas_call(
-            functools.partial(kernel, tuple(jnp.asarray(t) for t in tabs)),
+            kernel,
             grid=(IL // TILE,),
-            in_specs=[spec_in, spec_in],
+            in_specs=[spec_in, spec_in] + tab_specs,
             out_specs=[spec_in, spec_in],
             out_shape=out_shape,
-        )(fre, fim)
+        )(fre, fim, *tabs_j)
         return ore, oim
 
     return step
