@@ -48,51 +48,61 @@ def _log(msg):
 
 
 def bench_single(params, consts, M, make_demo_model, n_windows=5,
-                 days_per_window=6):
-    """Median-of-windows single-member SYPD."""
+                 days_per_window=30):
+    """Median-of-windows single-member SYPD. Each window is ONE dispatched
+    scan of days_per_window simulated days: at T30 the step is launch-bound
+    and per-day dispatches through the tunnel cost ~20% (measured round 3);
+    the public run() likewise scans whole callback intervals per dispatch."""
     _, state, cal = make_demo_model(params)
-    run = M.make_run_steps(consts, phase=2)  # day chunks start at step 2+36d
+    run = M.make_run_steps(consts, phase=2)  # chunks start at step 2 (+36d)
 
     n_day = params.nsteps
-    ctx, cal = M.build_step_ctx(cal, 2, n_day)
+    n_win = days_per_window * n_day
+    ctx, cal = M.build_step_ctx(cal, 2, n_win)
     state = run(state, ctx)
     jax.block_until_ready(state)  # compile + warm-up
 
     rates = []
-    stepno = 2 + n_day
+    stepno = 2 + n_win
     for w in range(n_windows):
+        ctx, cal = M.build_step_ctx(cal, stepno, n_win)
         t0 = time.perf_counter()
-        for d in range(days_per_window):
-            ctx, cal = M.build_step_ctx(cal, stepno, n_day)
-            state = run(state, ctx)
-            stepno += n_day
+        state = run(state, ctx)
         jax.block_until_ready(state)
         wall = time.perf_counter() - t0
-        rates.append(days_per_window * n_day / wall)
+        stepno += n_win
+        rates.append(n_win / wall)
     assert not bool(state["error_flag"]), "model blew up during bench"
 
     med = statistics.median(rates)
     sypd = _sypd(med, 1.0)
-    _log(f"bench: single-member windows {[round(r, 1) for r in rates]} "
+    _log(f"bench: single-member {days_per_window}-day windows "
+         f"{[round(r, 1) for r in rates]} "
          f"steps/s -> median {med:.1f} steps/s, {sypd:.1f} SYPD")
 
-    # Roofline accounting (XLA cost analysis of the day-scan executable).
-    # Measured device peaks: ~94 TFLOP/s bf16 matmul, ~328 GB/s HBM.
-    gflops_s = hbm_gbs = None
+    # Roofline accounting. XLA's cost_analysis counts a while/scan BODY once
+    # (verified: identical flops for 36- vs 72-step scans), and this
+    # executable's body is one 3-step phase triple, so per-step cost =
+    # analysis / 3. "bytes accessed" is LOGICAL operand traffic (>= physical
+    # HBM; fusions re-read from VMEM). Measured device peaks: ~94 TFLOP/s
+    # bf16 matmul, ~328 GB/s sustained HBM.
+    gflops_s = logical_gbs = None
     try:
         ca = run.lower(state, ctx).compile().cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
-        day_s = n_day / med
+        body_steps = 3
         if ca and ca.get("flops"):
-            gflops_s = float(ca["flops"]) / day_s / 1e9
+            gflops_s = float(ca["flops"]) / body_steps * med / 1e9
         if ca and ca.get("bytes accessed"):
-            hbm_gbs = float(ca["bytes accessed"]) / day_s / 1e9
+            logical_gbs = (float(ca["bytes accessed"]) / body_steps
+                           * med / 1e9)
         _log(f"bench: roofline {gflops_s and round(gflops_s, 1)} GFLOP/s, "
-             f"{hbm_gbs and round(hbm_gbs, 1)} GB/s accessed")
+             f"{logical_gbs and round(logical_gbs, 1)} GB/s logical operand "
+             "traffic")
     except Exception as e:  # noqa: BLE001 - accounting is best-effort
         _log(f"bench: cost analysis unavailable: {e}")
-    return sypd, rates, gflops_s, hbm_gbs
+    return sypd, rates, gflops_s, logical_gbs
 
 
 MEMBER_CHUNK = 256  # measured throughput knee (BENCH_NOTES round 3)
@@ -134,18 +144,20 @@ def bench_ensemble(params, consts, M, make_demo_model, n_members,
     hbm_gbs = None
     try:
         # Post-hoc lower+compile hits the persistent compilation cache.
+        # cost_analysis counts the scan body once; this executable is
+        # scan(triples) + one final triple outside the scan = 6 steps of a
+        # chunk-wide batch counted. bytes are LOGICAL operand traffic.
         ca = run.lower(chunks[0], ctx).compile().cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
         if ca and ca.get("bytes accessed"):
-            day_s = n_members * n_day / msps  # wall time per simulated day
-            hbm_gbs = (float(ca["bytes accessed"])
-                       * (n_members // chunk) / day_s / 1e9)
+            counted = 6 * chunk  # member-steps covered by the analysis
+            hbm_gbs = (float(ca["bytes accessed"]) / counted * msps / 1e9)
     except Exception:
         pass
     _log(f"bench: ensemble {n_members} (chunks of {chunk}): "
          f"{[round(r) for r in rates]} member-steps/s -> median {msps:.0f}"
-         + (f", {hbm_gbs:.0f} GB/s accessed" if hbm_gbs else ""))
+         + (f", {hbm_gbs:.0f} GB/s logical" if hbm_gbs else ""))
     return msps, hbm_gbs
 
 
@@ -176,7 +188,9 @@ def main():
     if gflops_s is not None:
         out["achieved_gflops_per_s"] = round(gflops_s, 1)
     if hbm_gbs is not None:
-        out["achieved_hbm_gb_per_s"] = round(hbm_gbs, 1)
+        # LOGICAL operand traffic per unit time (>= physical HBM; see
+        # bench_single) — the fraction below is an upper bound on HBM use.
+        out["logical_gb_per_s"] = round(hbm_gbs, 1)
 
     # Ensemble throughput at the three reference batch sizes. 1024 members on
     # CPU would thrash host memory; sizes shrink off-TPU.
@@ -187,8 +201,8 @@ def main():
                                          n_members)
             out[f"ensemble_msps_{n_members}"] = round(msps)
             if e_hbm is not None:
-                out[f"ensemble_hbm_gbs_{n_members}"] = round(e_hbm, 1)
-                out[f"ensemble_hbm_frac_{n_members}"] = round(
+                out[f"ensemble_logical_gbs_{n_members}"] = round(e_hbm, 1)
+                out[f"ensemble_hbm_frac_upper_{n_members}"] = round(
                     e_hbm / MEASURED_HBM_GBS, 3)
         except Exception as e:  # noqa: BLE001 - diagnostic metrics
             _log(f"bench: ensemble {n_members} failed: {e}")
