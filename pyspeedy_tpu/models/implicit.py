@@ -40,9 +40,9 @@ def build_hordif(params: ModelParams, geom: Geometry) -> HorDiffusion:
     mx, nx, kx, trunc = params.mx, params.nx, params.kx, params.trunc
     npowhd = 4
 
-    hdiff = 1.0 / (pc.THD * 3600.0)
-    hdifd = 1.0 / (pc.THDD * 3600.0)
-    hdifs = 1.0 / (pc.THDS * 3600.0)
+    hdiff = 1.0 / (params.thd * 3600.0)
+    hdifd = 1.0 / (params.thdd * 3600.0)
+    hdifs = 1.0 / (params.thds * 3600.0)
     rlap = 1.0 / float(trunc * (trunc + 1))
 
     m0 = np.arange(mx)[:, None]

@@ -37,6 +37,15 @@ class ModelParams:
     nstrad: int = 3          # shortwave radiation period (steps)
     sppt_on: bool = False    # stochastic physics
 
+    # Horizontal-diffusion damping times [hours] (reference compile-time
+    # constants, physical_constants.f90:40-43). Runtime-configurable here
+    # because higher truncations need stronger damping: with the T30 values
+    # a T63 f32 run accumulates small-scale vorticity and blows up after
+    # ~1 month (measured round 3).
+    thd: float = 2.4         # del^8, temperature and vorticity
+    thdd: float = 2.4        # del^8, divergence
+    thds: float = 12.0       # del^2, stratospheric
+
     # Numerics: "f64" for reference parity, "f32" for the TPU fast path.
     precision: str = "f64"
 
@@ -90,8 +99,13 @@ T30L8 = ModelParams()
 # Additional resolution presets. The reference is compile-time fixed at
 # T30L8 (with sigma tables for 5/7/8 levels); here resolution is a runtime
 # configuration: higher truncations use the same transform machinery with
-# larger operator tables.
+# larger operator tables. The time step scales inversely with truncation
+# (advective CFL): T30's dt=2400 s is marginal at T47 and unstable at T63
+# (measured: a T47 f32 run with nsteps=36 trips the diagnostics check
+# within ~weeks of simulation); nsteps stays a multiple of 3 so the
+# phase-specialized shortwave cadence applies.
 T30L5 = ModelParams(kx=5)
 T30L7 = ModelParams(kx=7)
-T47L8 = ModelParams(trunc=47, ix=144, iy=36)
-T63L8 = ModelParams(trunc=63, ix=192, iy=48)
+T47L8 = ModelParams(trunc=47, ix=144, iy=36, nsteps=54)   # dt = 1600 s
+T63L8 = ModelParams(trunc=63, ix=192, iy=48, nsteps=72,   # dt = 1200 s
+                    thd=0.8, thdd=0.8, thds=6.0)

@@ -32,7 +32,7 @@ from .utils.dataset import Dataset, Variable, merge, open_dataset
 
 __all__ = ["Speedy", "SpeedyEns", "MODEL_STATE_DEF"]
 
-_DT_STEP = timedelta(seconds=3600 * 24 / 36)
+_DT_STEP = timedelta(seconds=3600 * 24 / 36)  # T30 default (reference dt)
 
 # Checkpoint (.npz) format version: bump when the stored layout of any state
 # field changes (v2: 'tr' stored as (t_levs, ntr, kx, mx, nx); v3: spectral
@@ -94,6 +94,11 @@ class Speedy:
 
     def get_current_step(self):
         return self._current_step
+
+    @property
+    def _dt_step(self):
+        # dt follows the configured steps/day (reference: fixed 2400 s, T30)
+        return timedelta(seconds=3600 * 24 / self.params.nsteps)
 
     # -- state access ------------------------------------------------------
 
@@ -282,7 +287,7 @@ class Speedy:
                                           n_steps)
         self._state = run(self._state, ctx)
         self._current_step += n_steps
-        self.current_date += _DT_STEP * n_steps
+        self.current_date += self._dt_step * n_steps
 
     def _raise_if_failed(self):
         if bool(self._state["error_flag"]):
@@ -299,7 +304,7 @@ class Speedy:
                 "method to initialize the model.")
 
         self.current_date = self.start_date
-        total = round((self.end_date - self.current_date) / _DT_STEP)
+        total = round((self.end_date - self.current_date) / self._dt_step)
         chunk = 1
         if total > 0:
             intervals = [cb.interval for cb in callbacks
@@ -486,6 +491,10 @@ class SpeedyEns:
             member.set_params(start_date=start_date, end_date=end_date)
         self.current_date = start_date
 
+    @property
+    def _dt_step(self):
+        return self.members[0]._dt_step
+
     def to_dataframe(self, variables=None):
         return merge([m.to_dataframe(variables=variables) for m in self],
                      join="outer", compat="no_conflicts")
@@ -504,7 +513,7 @@ class SpeedyEns:
             callbacks = []
 
         end_date = self.members[0].end_date
-        total = round((end_date - self.current_date) / _DT_STEP)
+        total = round((end_date - self.current_date) / self._dt_step)
         intervals = [cb.interval for cb in callbacks
                      if getattr(cb, "interval", None)]
         chunk = math.gcd(*intervals) if intervals else max(total, 1)
@@ -525,7 +534,7 @@ class SpeedyEns:
                       for m, member in enumerate(self)
                       if bool(member._state["error_flag"])}
             done += n
-            self.current_date += _DT_STEP * n
+            self.current_date += self._dt_step * n
             for member in self:
                 member.current_date = self.current_date
             if errors:

@@ -232,10 +232,13 @@ def test_runtime_flag_sst_anomaly_coupling():
     assert np.abs(np.asarray(out_on["sstan_am"])).max() > 1.0
 
 
-@pytest.mark.parametrize("preset", ["T30L5", "T30L7", "T47L8"])
+@pytest.mark.parametrize("preset", ["T30L5", "T30L7", "T47L8", "T63L8"])
 def test_other_resolutions_run(preset):
     """Beyond the reference's fixed T30L8: other vertical/horizontal
-    resolutions run stably from synthetic BCs (full physics)."""
+    resolutions run stably from synthetic BCs (full physics). The presets
+    scale dt and the diffusion times with truncation (params.py); T47/T63
+    stability over months is additionally verified on TPU (BENCH_NOTES
+    round 3)."""
     import pyspeedy_tpu.params as P
 
     params = getattr(P, preset)

@@ -105,7 +105,14 @@ def render_module(modname):
     if consts:
         lines.append("## Data\n")
         for n, o in consts:
-            rep = repr(o)
+            if isinstance(o, (set, frozenset)):
+                # set iteration order is hash-randomized: render sorted so
+                # regeneration is deterministic (tests/test_docs.py).
+                rep = (type(o).__name__ + "({"
+                       + ", ".join(repr(x) for x in sorted(o, key=repr))
+                       + "})")
+            else:
+                rep = repr(o)
             if len(rep) > 200:
                 rep = rep[:200] + " ..."
             lines.append(f"### `{n}`\n\n```python\n{rep}\n```\n")
