@@ -105,21 +105,17 @@ def bench_single(params, consts, M, make_demo_model, n_windows=5,
     return sypd, rates, gflops_s, logical_gbs
 
 
-MEMBER_CHUNK = 256  # measured throughput knee (BENCH_NOTES round 3)
-
-
 def bench_ensemble(params, consts, M, make_demo_model, n_members,
                    n_repeats=3, days_per_repeat=2):
     """Median member-steps/s for an n_members batched ensemble (chunked
     along the member axis past the measured knee, like SpeedyEns), plus the
     achieved HBM GB/s from XLA cost analysis of the batched executable."""
     from pyspeedy_tpu.parallel.ensemble import (broadcast_state,
-                                                make_run_steps_batched)
+                                                make_run_steps_batched,
+                                                pick_member_chunk)
     n_day = params.nsteps
     _, state1, cal = make_demo_model(params)
-    chunk = (MEMBER_CHUNK
-             if n_members > MEMBER_CHUNK and n_members % MEMBER_CHUNK == 0
-             else n_members)
+    chunk = pick_member_chunk(n_members)
     chunks = [broadcast_state(state1, chunk)
               for _ in range(n_members // chunk)]
     run = make_run_steps_batched(consts, phase=2, donate=False)

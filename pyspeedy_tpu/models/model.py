@@ -220,9 +220,10 @@ DYNAMIC_FIELDS = frozenset({
 # arrays (physics.f90 ordering), and the land/sea coupler consumes hfluxn/shf/
 # evap of the SAME step (speedy.f90:56-72). Nothing reads the previous step's
 # value, so carrying them across scan iterations is pure HBM traffic — the
-# batched ensemble runner drops them from the carry. (Registry reads of these
-# after a batched run then reflect initialization, not the last step; the
-# single-member path keeps full parity.) The nstrad shortwave cache
+# batched ensemble runner drops them from the carry and returns the FINAL
+# step's values member-batched (its last step group runs outside the scan),
+# so registry reads after a batched run ARE current, matching the
+# reference's parallel_step. The nstrad shortwave cache
 # (tt_rsw/rad_tau2/rad_strat_corr/tsr/ssrd/ssr/qcloud_equiv) is NOT here: the
 # cached branch reads the previous shortwave step's values.
 EPHEMERAL_FIELDS = frozenset({

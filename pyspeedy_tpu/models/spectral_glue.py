@@ -20,30 +20,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import constants as pc
-from ..ops import spectral as S
 from .implicit import implicit_terms
 from .tendencies import combine_specs, spectral_linear_tendencies
+from .timestep import hordif, leapfrog_pair, sdrag_mask
 
 __all__ = ["apply_spectral_update"]
-
-
-def _hordif(field, fdt, dmp, dmp1):
-    """fdt_out = (fdt - dmp*field) * dmp1 (horizontal_diffusion.f90:131-152)."""
-    return (fdt - dmp * field) * dmp1
-
-
-def _leapfrog(params, trfilt, j1: int, dt, eps, f0, f1, fdt,
-              do_truncate: bool):
-    """Robert-Williams filtered leapfrog of one prognostic pair
-    (time_stepping.f90:164-188); see timestep._step_field for the
-    sequential-aliasing quirk notes."""
-    if do_truncate:
-        fdt = fdt * trfilt
-    fj = f0 if j1 == 1 else f1
-    fnew = f0 + dt * fdt
-    g1 = fj + params.wil * eps * (f0 - 2.0 * fj + fnew)
-    g2 = fnew - (1.0 - params.wil) * eps * (g1 - 2.0 * fj + fnew)
-    return g1, g2
 
 
 def spectral_update(consts, j1: int, dt: float, eps: float,
@@ -70,37 +51,34 @@ def spectral_update(consts, j1: int, dt: float, eps: float,
     tcorv_c = np.asarray(hd.tcorv)[:, None, None]
     qcorv_c = np.asarray(hd.qcorv)[:, None, None]
 
-    vordt = _hordif(vor0, vordt, hd.dmp, im.dmp1)
-    divdt = _hordif(div0, divdt, hd.dmpd, im.dmp1d)
+    vordt = hordif(vor0, vordt, hd.dmp, im.dmp1)
+    divdt = hordif(div0, divdt, hd.dmpd, im.dmp1d)
     tcor = t0 + tcorh[:, None] * tcorv_c
-    tdt = _hordif(tcor, tdt, hd.dmp, im.dmp1)
+    tdt = hordif(tcor, tdt, hd.dmp, im.dmp1)
 
     sdrag = 1.0 / (pc.TDRS * 3600.0)
-    mx = vordt.shape[-2]
-    m00 = np.zeros((kx, mx, 1))
-    m00[0, 0, 0] = 1.0
-    m00 = jnp.asarray(m00, dtype=vordt.dtype)
+    m00 = sdrag_mask(kx, vordt.shape[-2], vordt.dtype)
     vordt = vordt - (sdrag * m00) * vor0
     divdt = divdt - (sdrag * m00) * div0
 
-    vordt = _hordif(vor0, vordt, hd.dmps, im.dmp1s)
-    divdt = _hordif(div0, divdt, hd.dmps, im.dmp1s)
-    tdt = _hordif(tcor, tdt, hd.dmps, im.dmp1s)
+    vordt = hordif(vor0, vordt, hd.dmps, im.dmp1s)
+    divdt = hordif(div0, divdt, hd.dmps, im.dmp1s)
+    tdt = hordif(tcor, tdt, hd.dmps, im.dmp1s)
 
     # Tracers (flat level axis): tracer 0 (humidity) gets the orographic
     # correction, the rest plain del^8 diffusion.
     qcor = trf0[:, :kx] + qcorh[:, None] * qcorv_c
-    tr_parts = [_hordif(qcor, trdt[:, :kx], hd.dmpd, im.dmp1d)]
+    tr_parts = [hordif(qcor, trdt[:, :kx], hd.dmpd, im.dmp1d)]
     for itr in range(1, ntr):
         sl = slice(itr * kx, (itr + 1) * kx)
-        tr_parts.append(_hordif(trf0[:, sl], trdt[:, sl], hd.dmp, im.dmp1))
+        tr_parts.append(hordif(trf0[:, sl], trdt[:, sl], hd.dmp, im.dmp1))
     trdt = jnp.concatenate(tr_parts, axis=1) if ntr > 1 else tr_parts[0]
 
     # --- leapfrog + Robert-Williams filter (time_stepping.f90:124-144) ---
     do_trunc = params.ix == params.iy * 4
     trfilt = sp.trfilt
-    lf = lambda f0_, f1_, fdt_: _leapfrog(params, trfilt, j1, dt, eps,
-                                          f0_, f1_, fdt_, do_trunc)
+    lf = lambda f0_, f1_, fdt_: leapfrog_pair(params, trfilt, j1, dt, eps,
+                                              f0_, f1_, fdt_, do_trunc)
     ps0n, ps1n = lf(ps0, ps1, psdt)
     vor0n, vor1n = lf(vor0, vor1, vordt)
     div0n, div1n = lf(div0, div1, divdt)

@@ -61,14 +61,19 @@ def _half_level_flux(sigdt, df):
     return jnp.concatenate([zeros, sigdt[1:-1] * df, zeros], axis=0)
 
 
-def _prefix_cumsum(x):
-    """Prefix sums along axis 0 via log-depth shift-adds: fuses into the
+def _prefix_cumsum(x, axis: int = 0):
+    """Prefix sums along `axis` via log-depth shift-adds: fuses into the
     surrounding elementwise work (jnp.cumsum is a while loop on the TPU
-    backend) and lowers inside Pallas kernels."""
+    backend) and lowers inside Pallas kernels (contiguous slices only)."""
+    import jax
+
+    n = x.shape[axis]
     shift = 1
-    while shift < x.shape[0]:
+    while shift < n:
+        head = jnp.zeros_like(jax.lax.slice_in_dim(x, 0, shift, axis=axis))
         x = x + jnp.concatenate(
-            [jnp.zeros_like(x[:shift]), x[:-shift]], axis=0)
+            [head, jax.lax.slice_in_dim(x, 0, n - shift, axis=axis)],
+            axis=axis)
         shift *= 2
     return x
 
@@ -318,7 +323,7 @@ def spectral_linear_tendencies(consts, div, ps, phi, divdt, tdt, psdt,
     zero2 = jnp.zeros_like(div[:, :1])
     flux = dhs_np[:-1, None, None] * (div[:, :-1] - dmeanc[:, None])
     if mosaic_safe:
-        csum = _prefix_cumsum_axis1(flux)
+        csum = _prefix_cumsum(flux, axis=1)
     else:
         csum = jnp.cumsum(flux, axis=1)
     sigdtc = jnp.concatenate([zero2, -csum, zero2], axis=1)
@@ -335,17 +340,6 @@ def spectral_linear_tendencies(consts, div, ps, phi, divdt, tdt, psdt,
         sp, phi + pc.RGAS * tref_np[:, None, None] * ps[:, None])
 
     return divdt, tdt, psdt
-
-
-def _prefix_cumsum_axis1(x):
-    """Prefix sums along axis 1 via log-depth shift-adds (Mosaic-compatible;
-    see _prefix_cumsum)."""
-    shift = 1
-    while shift < x.shape[1]:
-        x = x + jnp.concatenate(
-            [jnp.zeros_like(x[:, :shift]), x[:, :-shift]], axis=1)
-        shift *= 2
-    return x
 
 
 def get_spectral_tendencies(consts, state, divdt, tdt, psdt, j2: int):

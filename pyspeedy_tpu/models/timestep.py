@@ -10,30 +10,47 @@ from .. import constants as pc
 from ..ops import spectral as S
 from .tendencies import get_tendencies
 
-__all__ = ["step"]
+__all__ = ["step", "hordif", "leapfrog_pair", "sdrag_mask"]
 
 
-def _hordif(field, fdt, dmp, dmp1):
+def hordif(field, fdt, dmp, dmp1):
     """fdt_out = (fdt - dmp*field) * dmp1 (horizontal_diffusion.f90:131-152).
-    dmp/dmp1 are (mx, nx); field/fdt have trailing (mx, nx)."""
+    dmp/dmp1 are (mx, nx); field/fdt have trailing (mx, nx). Shared by this
+    module's legacy path and the spectral-glue kernel function."""
     return (fdt - dmp * field) * dmp1
 
 
-def _step_field(params, sp, j1: int, dt, eps, f, fdt):
-    """Leapfrog + Robert-Williams filter update of one prognostic
-    (time_stepping.f90:164-188). f: (lev0, lev1) tuple; fdt: (...). j1 is
-    1-based as in the reference: (1,1) forward, (1,2) initial leapfrog,
-    (2,2) filtered. Time levels are pytree tuple elements, not a stacked
-    array axis — level selection costs nothing at trace time."""
-    if params.ix == params.iy * 4:
-        fdt = S.truncate(sp, fdt)
-    fj = f[j1 - 1]
-    fnew = f[0] + dt * fdt
-    f1 = fj + params.wil * eps * (f[0] - 2.0 * fj + fnew)
+def leapfrog_pair(params, trfilt, j1: int, dt, eps, f0, f1, fdt,
+                  do_truncate: bool):
+    """Leapfrog + Robert-Williams filter update of one prognostic pair
+    (time_stepping.f90:164-188). j1 is 1-based as in the reference: (1,1)
+    forward, (1,2) initial leapfrog, (2,2) filtered. Returns (new0, new1)."""
+    if do_truncate:
+        fdt = fdt * trfilt
+    fj = f0 if j1 == 1 else f1
+    fnew = f0 + dt * fdt
+    g1 = fj + params.wil * eps * (f0 - 2.0 * fj + fnew)
     # The reference computes the second-level filter displacement with the
     # already-updated first level (sequential aliasing in step_field_2d).
-    f2 = fnew - (1.0 - params.wil) * eps * (f1 - 2.0 * fj + fnew)
-    return (f1, f2)
+    g2 = fnew - (1.0 - params.wil) * eps * (g1 - 2.0 * fj + fnew)
+    return (g1, g2)
+
+
+def sdrag_mask(kx: int, mx: int, dtype):
+    """One-hot (kx, mx, 1) mask selecting the top-level zonal-mean mode for
+    the stratospheric drag (time_stepping.f90:92-100), applied as a fused
+    masked subtract instead of a scattered update."""
+    m00 = np.zeros((kx, mx, 1))
+    m00[0, 0, 0] = 1.0
+    return jnp.asarray(m00, dtype=dtype)
+
+
+def _step_field(params, sp, j1: int, dt, eps, f, fdt):
+    """leapfrog_pair on a (lev0, lev1) tuple field (time levels are pytree
+    tuple elements, not a stacked axis — level selection is free at trace
+    time); truncation applies on the quadratic grids (ix == 4iy)."""
+    return leapfrog_pair(params, sp.trfilt, j1, dt, eps, f[0], f[1], fdt,
+                         params.ix == params.iy * 4)
 
 
 def step(consts, state, j1: int, j2: int, dt: float, physics_fn=None, ctx=None):
@@ -69,34 +86,31 @@ def step(consts, state, j1: int, j2: int, dt: float, physics_fn=None, ctx=None):
     # --- horizontal diffusion (time_stepping.f90:78-122) ---
     vor0 = state["vor"][0]
     div0 = state["div"][0]
-    vordt = _hordif(vor0, vordt, hd.dmp, im.dmp1)
-    divdt = _hordif(div0, divdt, hd.dmpd, im.dmp1d)
+    vordt = hordif(vor0, vordt, hd.dmp, im.dmp1)
+    divdt = hordif(div0, divdt, hd.dmpd, im.dmp1d)
 
     # tcorh is a (2, mx, nx) real pair; insert the level axis for the
     # (kx, 1, 1) vertical-profile broadcast.
     tcor = state["t"][0] + state["tcorh"][:, None] * hd.tcorv[:, None, None]
-    tdt = _hordif(tcor, tdt, hd.dmp, im.dmp1)
+    tdt = hordif(tcor, tdt, hd.dmp, im.dmp1)
 
     # Stratospheric drag on the zonal-mean top-level flow
     # (time_stepping.f90:92-100), applied as a fused masked subtract.
     sdrag = 1.0 / (pc.TDRS * 3600.0)
-    kx, mx = vordt.shape[-3], vordt.shape[-2]
-    m00 = np.zeros((kx, mx, 1))
-    m00[0, 0, 0] = 1.0
-    m00 = jnp.asarray(m00, dtype=vordt.real.dtype)
+    m00 = sdrag_mask(vordt.shape[-3], vordt.shape[-2], vordt.dtype)
     vordt = vordt - (sdrag * m00) * vor0
     divdt = divdt - (sdrag * m00) * div0
 
-    vordt = _hordif(vor0, vordt, hd.dmps, im.dmp1s)
-    divdt = _hordif(div0, divdt, hd.dmps, im.dmp1s)
-    tdt = _hordif(tcor, tdt, hd.dmps, im.dmp1s)
+    vordt = hordif(vor0, vordt, hd.dmps, im.dmp1s)
+    divdt = hordif(div0, divdt, hd.dmps, im.dmp1s)
+    tdt = hordif(tcor, tdt, hd.dmps, im.dmp1s)
 
     # tr is a (2, ntr, kx, mx, nx) real pair; tracer index is axis 1.
     qcor = (state["tr"][0][:, 0]
             + state["qcorh"][:, None] * hd.qcorv[:, None, None])
     trdt = jnp.stack(
-        [_hordif(qcor, trdt[:, 0], hd.dmpd, im.dmp1d)]
-        + [_hordif(state["tr"][0][:, itr], trdt[:, itr], hd.dmp, im.dmp1)
+        [hordif(qcor, trdt[:, 0], hd.dmpd, im.dmp1d)]
+        + [hordif(state["tr"][0][:, itr], trdt[:, itr], hd.dmp, im.dmp1)
            for itr in range(1, params.ntr)], axis=1)
 
     # --- leapfrog with Robert-Williams filter (time_stepping.f90:124-144) ---

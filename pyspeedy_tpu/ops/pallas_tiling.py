@@ -74,6 +74,7 @@ def whole_kernel(fn, args, interpret=False):
     closed = jax.make_jaxpr(flat_fn)(
         *[jax.ShapeDtypeStruct(np.shape(x), jnp.result_type(x))
           for x in args])
+    out_treedef = flat_fn_tree["treedef"]
     hoisted = list(closed.consts)
     hoisted_shapes = [np.shape(c) for c in hoisted]
     hoisted_in = [jnp.asarray(c).reshape(_pad2d(np.shape(c)))
@@ -84,8 +85,9 @@ def whole_kernel(fn, args, interpret=False):
     inputs = args + tuple(hoisted_in)
     in_specs = [pl.BlockSpec(np.shape(x), zi(np.ndim(x))) for x in inputs]
 
-    out_aval = jax.eval_shape(fn, *args)
-    flat_out, out_treedef = jax.tree.flatten(out_aval)
+    # Output avals come from the jaxpr already traced above (a second
+    # eval_shape would re-trace the whole chain).
+    flat_out = closed.out_avals
     out_shape = [jax.ShapeDtypeStruct(a.shape, a.dtype) for a in flat_out]
     out_specs = [pl.BlockSpec(a.shape, zi(len(a.shape))) for a in flat_out]
 

@@ -17,7 +17,21 @@ from ..models import model as M
 from .mesh import ensemble_state_sharding
 
 __all__ = ["broadcast_state", "make_run_steps_batched", "shard_ensemble",
-           "BF16_CACHE_FIELDS"]
+           "BF16_CACHE_FIELDS", "MEMBER_CHUNK", "pick_member_chunk"]
+
+# Measured throughput knee (BENCH_NOTES round 3): one 1024-wide scan runs
+# ~25% slower than four sequential 256-wide scans of the same executable
+# (HBM pressure at the wide shapes), so large ensembles advance in member
+# chunks of this width. Shared by SpeedyEns and bench.py.
+MEMBER_CHUNK = 256
+
+
+def pick_member_chunk(n_members: int) -> int:
+    """Chunk width for an n-member ensemble: MEMBER_CHUNK when it divides
+    the ensemble evenly past the knee, else the whole ensemble."""
+    if n_members > MEMBER_CHUNK and n_members % MEMBER_CHUNK == 0:
+        return MEMBER_CHUNK
+    return n_members
 
 # The nstrad shortwave cache is the largest carried block of the batched
 # state (rad_tau2 alone is ~590 KB/member, ~22% of the carry). Carrying it
@@ -130,12 +144,19 @@ def make_run_steps_batched(consts, mesh=None, shard_space: bool = True,
 
         dyn, _ = jax.lax.scan(body, dyn, ctx_main)
 
+        # Ephemerals are collected member-batched from the final group only
+        # on the physics-on path (where they are stripped from the input and
+        # recomputed every step). With physics off they pass through static
+        # untouched — returning them from the vmapped final group would
+        # broadcast stale copies to member-batched shapes and break chaining.
+        eph_names = M.EPHEMERAL_FIELDS if consts.physics_on else frozenset()
+
         def one_final(dd):
             if bf16_cache:
                 dd = cache_up(dd)
             st = run_group({**static, **dd}, ctx_last)
             return ({k: st[k] for k in dd},
-                    {k: st[k] for k in M.EPHEMERAL_FIELDS if k in st})
+                    {k: st[k] for k in eph_names if k in st})
 
         dyn, eph = jax.vmap(one_final)(dyn)
         return {**static, **dyn, **eph}

@@ -32,8 +32,6 @@ from .utils.dataset import Dataset, Variable, merge, open_dataset
 
 __all__ = ["Speedy", "SpeedyEns", "MODEL_STATE_DEF"]
 
-_DT_STEP = timedelta(seconds=3600 * 24 / 36)  # T30 default (reference dt)
-
 # Checkpoint (.npz) format version: bump when the stored layout of any state
 # field changes (v2: 'tr' stored as (t_levs, ntr, kx, mx, nx); v3: spectral
 # fields stored as real (2, ...) pairs instead of complex — ops/spectral.py).
@@ -544,28 +542,22 @@ class SpeedyEns:
             for callback in callbacks:
                 callback(self)
 
-    # Measured throughput knee (BENCH_NOTES round 3): one 1024-wide scan
-    # runs ~25% slower than four sequential 256-wide scans of the same
-    # executable (HBM pressure at the wide shapes), so large ensembles
-    # advance in member chunks.
-    MEMBER_CHUNK = 256
-
     def _advance_batched(self, n_steps):
         """Vmapped scans over all members (zero member communication),
-        chunked along the member axis past the measured throughput knee."""
+        chunked along the member axis past the measured throughput knee
+        (parallel/ensemble.py MEMBER_CHUNK)."""
         import jax.numpy as _jnp
 
         from .models.model import DYNAMIC_FIELDS, EPHEMERAL_FIELDS
-        from .parallel.ensemble import make_run_steps_batched
+        from .parallel.ensemble import (make_run_steps_batched,
+                                        pick_member_chunk)
 
         lead = self.members[0]
         if not hasattr(self, "_batched_run"):
             self._batched_run = {}
 
         n = len(self.members)
-        chunk = (self.MEMBER_CHUNK
-                 if n > self.MEMBER_CHUNK and n % self.MEMBER_CHUNK == 0
-                 else n)
+        chunk = pick_member_chunk(n)
         phase = (lead._current_step % 3) if n_steps % 3 == 0 else None
         key = (id(lead._consts), phase, chunk)
         if key not in self._batched_run:

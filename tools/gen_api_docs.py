@@ -19,6 +19,15 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Pin CPU before importing the package: the image's sitecustomize
+# force-selects the axon TPU plugin via the jax_platforms config flag, so
+# the JAX_PLATFORMS env var alone is NOT enough (CLAUDE.md); any module
+# constant whose repr touches a device would otherwise trigger slow TPU
+# compiles inside the docs build.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 PACKAGE = "pyspeedy_tpu"
 
 # Modules whose import requires optional runtime context (none currently).
