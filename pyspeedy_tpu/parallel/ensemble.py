@@ -63,7 +63,7 @@ def broadcast_state(state: dict, n_members: int) -> dict:
 
 
 def make_run_steps_batched(consts, mesh=None, shard_space: bool = True,
-                           donate: bool = True, phase: int | None = None,
+                           donate: bool = False, phase: int | None = None,
                            fuse_transforms: bool = False,
                            bf16_cache: bool | None = None):
     """Jitted n-step integrator over a member-batched state (leading member
@@ -76,7 +76,11 @@ def make_run_steps_batched(consts, mesh=None, shard_space: bool = True,
 
     bf16_cache: carry the shortwave radiation cache (BF16_CACHE_FIELDS) in
     bfloat16 across scan iterations; defaults to on for TPU f32 runs. The
-    returned state is cast back to the model dtype."""
+    returned state is cast back to the model dtype.
+
+    donate: input-buffer donation measured NO speedup on this backend
+    (round 3) and invalidates the loop-invariant arrays SHARED between
+    member-chunk states — off by default."""
     import dataclasses
 
     # Per-field transforms batch well already under vmap; the fused
