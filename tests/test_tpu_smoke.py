@@ -19,6 +19,10 @@ def test_tpu_vs_cpu_f32_day_drift():
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
     env.pop("XLA_FLAGS", None)
+    # conftest exports JAX_ENABLE_X64=1 into this process's environ for the
+    # CPU f64 suite; the TPU backend has no f64 support and x64 tracing
+    # overflows the recursion limit (reproduced) — drop it for the smoke.
+    env.pop("JAX_ENABLE_X64", None)
     r = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "tpu_smoke.py")],
         capture_output=True, text=True, env=env, timeout=2700)

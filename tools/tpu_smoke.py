@@ -24,6 +24,10 @@ import numpy as np
 os.makedirs("/tmp/pyspeedy_tpu_xla_cache", exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", "/tmp/pyspeedy_tpu_xla_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# This is an f32 TPU-vs-CPU comparison: x64 mode (e.g. inherited from the
+# CPU test suite's environment) is unsupported on the TPU backend and blows
+# the tracer recursion limit.
+jax.config.update("jax_enable_x64", False)
 
 
 def day_run(device):
