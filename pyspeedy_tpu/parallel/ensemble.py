@@ -174,8 +174,10 @@ def make_run_steps_batched(consts, mesh=None, shard_space: bool = True,
             out = run(state, ctx)
             # The output gains member-batched EPHEMERAL diagnostics the
             # (stripped) input did not have: rebuild shardings on the output.
+            # With physics off the ephemerals pass through UNbatched, so they
+            # must keep replicated specs (eph_batched mirrors eph_names).
             sh_out = ensemble_state_sharding(mesh, out, shard_space,
-                                             eph_batched=True)
+                                             eph_batched=consts.physics_on)
             return jax.lax.with_sharding_constraint(out, sh_out)
 
         jrun = jax.jit(run_sharded, donate_argnums=(0,) if donate else ())

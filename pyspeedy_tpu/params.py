@@ -60,6 +60,12 @@ class ModelParams:
     # parity; True uses converged f64 nodes (orthogonal to ~1e-12).
     exact_nodes: bool = False
 
+    def __post_init__(self):
+        if 86400 % self.nsteps != 0:
+            raise ValueError(
+                f"nsteps={self.nsteps} must divide 86400 so the model "
+                "calendar advances an exact whole-second step")
+
     @property
     def il(self) -> int:
         return 2 * self.iy

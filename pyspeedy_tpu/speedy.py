@@ -359,7 +359,8 @@ class Speedy:
             format_version=_CHECKPOINT_VERSION,
             current_step=self._current_step,
             cal=(self._cal.year, self._cal.month, self._cal.day,
-                 self._cal.hour, self._cal.minute, self._cal.month_idx),
+                 self._cal.hour, self._cal.minute, self._cal.month_idx,
+                 self._cal.second),
             current_date=self.current_date.isoformat(),
         )
         np.savez_compressed(path, __meta__=np.asarray([repr(meta)]), **arrays)
@@ -388,9 +389,10 @@ class Speedy:
                     else:
                         self._state[k] = jnp.asarray(data[k], dtype=cur.dtype)
         self._current_step = int(meta["current_step"])
-        y, m, d, h, mi, midx = meta["cal"]
+        y, m, d, h, mi, midx, *rest = meta["cal"]
         self._cal = ModelCalendar(y, m, d, h, mi, month_idx=midx,
-                                  nsteps=self.params.nsteps)
+                                  nsteps=self.params.nsteps,
+                                  second=rest[0] if rest else 0)
         self.current_date = datetime.fromisoformat(meta["current_date"])
 
     def check(self):
@@ -577,9 +579,14 @@ class SpeedyEns:
                         lambda *leaves: _jnp.stack(leaves),
                         *[m._state[name] for m in sub])
             out = run(state, ctx)
+            # With physics off the EPHEMERAL fields pass through the runner
+            # at single-member shapes — indexing [m] there would slice a
+            # non-member axis (latitude for hfluxn, which the coupler reads).
+            batched = DYNAMIC_FIELDS if lead._consts.physics_on else (
+                DYNAMIC_FIELDS - EPHEMERAL_FIELDS)
             for m, member in enumerate(sub):
                 st = dict(member._state)
-                for name in DYNAMIC_FIELDS:
+                for name in batched:
                     if name in out:
                         st[name] = _jax.tree.map(lambda a: a[m], out[name])
                 member._state = st

@@ -189,3 +189,32 @@ def test_shard_transform_collective_counts():
     c_inv = count_collectives(
         lambda s: spec2grid_sharded(sp, mesh, s, 2), spec)
     assert sum(c_inv.values()) == 0, c_inv
+
+
+def test_sharded_physics_off_ephemeral_layout():
+    """With physics off the EPHEMERAL fields pass through the batched runner
+    at single-member shapes; the sharded path must keep replicated layouts
+    for them (not constrain a member partition onto a non-member axis) and
+    still match the unsharded run (round-3 advisor finding)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    consts, state, cal = demo()
+    consts_off = dataclasses.replace(consts, physics_on=False)
+
+    run = make_run_steps_batched(consts_off, donate=False)
+    ctx, _ = M.build_step_ctx(dataclasses.replace(cal), 2, N_STEPS)
+    ref = run(broadcast_state(state, 8), ctx)
+
+    mesh = make_mesh(n_ensemble=4, n_space=2)
+    sharded = shard_ensemble(mesh, broadcast_state(state, 8))
+    run_sh = make_run_steps_batched(consts_off, mesh=mesh, donate=False)
+    ctx2, _ = M.build_step_ctx(dataclasses.replace(cal), 2, N_STEPS)
+    out = run_sh(sharded, ctx2)
+
+    # Pass-through ephemerals keep their single-member shapes on both paths.
+    assert out["hfluxn"].shape == state["hfluxn"].shape
+    assert ref["hfluxn"].shape == state["hfluxn"].shape
+    for name in ("vor", "div", "t", "ps"):
+        np.testing.assert_allclose(
+            np.asarray(out[name]), np.asarray(ref[name]),
+            rtol=0, atol=1e-10, err_msg=name)

@@ -315,3 +315,36 @@ def test_all_registry_variables_accessible():
         if spec.dims:
             assert np.asarray(arr).shape == model.get_shape(spec.name), \
                 spec.name
+
+
+def test_ens_batched_physics_off():
+    """Batched ensemble stepping with physics disabled: EPHEMERAL fields pass
+    through the runner at single-member shapes and must NOT be sliced on a
+    non-member axis during unpack (round-3 advisor finding: hfluxn, which the
+    coupler reads, was corrupted to a wrong-shaped array)."""
+    import dataclasses
+
+    sd, ed = datetime(1982, 1, 1), datetime(1982, 1, 2)
+    ens_a = SpeedyEns(2, start_date=sd, end_date=ed)
+    ens_b = SpeedyEns(2, start_date=sd, end_date=ed)
+    for ens in (ens_a, ens_b):
+        for m in ens:
+            m.set_bc()
+        off = dataclasses.replace(ens.members[0]._consts, physics_on=False)
+        for m in ens:
+            m._consts = off
+        m1 = ens.members[1]
+        m1["t_grid"] = m1["t_grid"] * (1.0 + 1e-5)
+        m1.grid2spectral()
+    shapes = {k: np.shape(v) for k, v in ens_a.members[0]._state.items()
+              if not isinstance(v, tuple)}
+    ens_a.run(batched=True)
+    ens_b.run(batched=False)
+    for m in range(2):
+        np.testing.assert_allclose(
+            ens_a.members[m]["t_grid"], ens_b.members[m]["t_grid"],
+            rtol=0, atol=1e-11, err_msg=f"member {m}")
+        # every non-batched state array keeps its allocation-time shape
+        for k, shp in shapes.items():
+            got = np.shape(ens_a.members[m]._state[k])
+            assert got == shp, f"{k}: {got} != {shp}"
