@@ -178,6 +178,10 @@ def main():
         "value": round(sypd, 2),
         "unit": "simulated_years_per_wallclock_day",
         "vs_baseline": round(sypd / REFERENCE_SYPD_ESTIMATE, 2),
+        # The reference publishes no numbers and no Fortran toolchain exists
+        # here: vs_baseline divides by a DOCUMENTED ESTIMATE (BASELINE.md),
+        # not a measurement. SYPD / member-steps/s are the honest series.
+        "baseline_is_estimate": True,
         "window_sypd_min": round(_sypd(min(windows), 1.0), 1),
         "window_sypd_max": round(_sypd(max(windows), 1.0), 1),
     }
@@ -202,6 +206,26 @@ def main():
                     e_hbm / MEASURED_HBM_GBS, 3)
         except Exception as e:  # noqa: BLE001 - diagnostic metrics
             _log(f"bench: ensemble {n_members} failed: {e}")
+
+    # SPPT ensemble (BASELINE config #4): stochastic physics priced against
+    # the same-size deterministic ensemble. The keyed-RNG AR(1) SPPT is the
+    # reference's only stochastic feature (sppt.f90:40-111).
+    n_sppt = 16 if backend == "tpu" else 4
+    try:
+        params_sppt = dataclasses.replace(params, sppt_on=True)
+        consts_sppt, _ = M.build_consts_cached(params_sppt)
+        msps_off, _ = bench_ensemble(params, consts, M, make_demo_model,
+                                     n_sppt)
+        msps_sppt, _ = bench_ensemble(params_sppt, consts_sppt, M,
+                                      make_demo_model, n_sppt)
+        out[f"ensemble_msps_{n_sppt}_sppt"] = round(msps_sppt)
+        out["sppt_overhead_pct"] = round(100.0 * (msps_off / msps_sppt - 1),
+                                         1)
+        _log(f"bench: sppt {n_sppt}-member {msps_sppt:.0f} msps "
+             f"({out['sppt_overhead_pct']}% overhead vs deterministic "
+             f"{msps_off:.0f})")
+    except Exception as e:  # noqa: BLE001 - diagnostic metrics
+        _log(f"bench: sppt ensemble failed: {e}")
 
     print(json.dumps(out))
 
