@@ -75,7 +75,7 @@ def bench_single(params, consts, M, make_demo_model, n_windows=5,
     assert not bool(state["error_flag"]), "model blew up during bench"
 
     med = statistics.median(rates)
-    sypd = _sypd(med, 1.0)
+    sypd = _sypd(med, 1.0, nsteps_per_day=params.nsteps)
     _log(f"bench: single-member {days_per_window}-day windows "
          f"{[round(r, 1) for r in rates]} "
          f"steps/s -> median {med:.1f} steps/s, {sypd:.1f} SYPD")
@@ -226,6 +226,30 @@ def main():
              f"{msps_off:.0f})")
     except Exception as e:  # noqa: BLE001 - diagnostic metrics
         _log(f"bench: sppt ensemble failed: {e}")
+
+    # Beyond-reference resolution throughput (the reference is compile-time
+    # T30-only, params.f90:18-29): T63L8 single member + 64-member batch.
+    # TPU-only — a T63 f64 CPU bench would dominate the wall clock.
+    if backend == "tpu":
+        try:
+            from pyspeedy_tpu.params import T63L8
+
+            params63 = dataclasses.replace(T63L8, precision="f32",
+                                           fft_mode="matmul")
+            consts63, _ = M.build_consts_cached(params63)
+            sypd63, _, _, _ = bench_single(params63, consts63, M,
+                                           make_demo_model, n_windows=3,
+                                           days_per_window=5)
+            out["t63_sypd_1member"] = round(sypd63, 1)
+        except Exception as e:  # noqa: BLE001
+            _log(f"bench: T63 single failed: {e}")
+        try:
+            msps63, _ = bench_ensemble(params63, consts63, M,
+                                       make_demo_model, 64, n_repeats=2,
+                                       days_per_repeat=1)
+            out["t63_ensemble_msps_64"] = round(msps63)
+        except Exception as e:  # noqa: BLE001
+            _log(f"bench: T63 ensemble failed: {e}")
 
     print(json.dumps(out))
 

@@ -66,11 +66,16 @@ class Consts:
     # tiles (all intermediates in VMEM) instead of XLA fusions. Applies only
     # to statically shortwave-specialized steps; see physics/pallas_physics.
     pallas_physics: bool = False
-    # Run the whole spectral side of each step (flux combination, linear
-    # tendencies, implicit correction, diffusion, leapfrog) as one Pallas
-    # program per member (models/spectral_glue.py). Like pallas_physics it
-    # pays off only on the batched-ensemble path.
-    pallas_spectral: bool = False
+    # NB a Pallas execution of the spectral glue (consts.pallas_spectral in
+    # rounds 2-3) was deleted after measuring as a dead end twice — see
+    # models/spectral_glue.py docstring.
+    # Reconstruct the physics-path geopotential by grid-space hydrostatic
+    # integration of the already-transformed temperature instead of
+    # inverse-transforming the phi stack (exact commutation of two linear
+    # operators; saves kx field-levels of synthesis per step). Differs from
+    # the reference-ordered spectral path only in summation order (ulp), so
+    # the CPU parity path keeps it off.
+    grid_phi: bool = False
     # Concatenate all per-step transforms into single mega-batched calls.
     # A large win for single-member runs (fewer launches, bigger matmuls);
     # measured HARMFUL on the vmapped ensemble path on TPU (the concats
@@ -129,9 +134,10 @@ def build_consts(params: ModelParams, **flags) -> tuple[Consts, Geometry]:
     # identical on TPU) is the default on TPU; elsewhere the flag selects
     # the interpreter, which is only useful for tests.
     flags.setdefault("pallas_physics", jax.default_backend() == "tpu")
-    # pallas_spectral stays opt-in: the per-member whole-state kernel was
-    # measured 1.8x SLOWER than the XLA glue at 256 members (table re-reads
-    # and tiny per-instance DMAs dominate; BENCH_NOTES round 3).
+    # Grid-space geopotential for the physics path: exact commutation (see
+    # Consts.grid_phi); default on for TPU where ulp-order is already set by
+    # the Mosaic kernels, off on the CPU parity path (fixtures are bitwise).
+    flags.setdefault("grid_phi", jax.default_backend() == "tpu")
     sp = S.build_spectral(params, geom_np, use_matmul_fft=use_matmul)
     hd = build_hordif(params, geom_np)
     gp = build_geopot(params, geom_np)
@@ -255,8 +261,7 @@ def _make_device_init(consts: Consts, geom_np: Geometry):
 
     # Initialization runs at batch=1: the XLA path wins there (see
     # make_run_steps).
-    consts = dataclasses.replace(consts, pallas_physics=False,
-                                 pallas_spectral=False)
+    consts = dataclasses.replace(consts, pallas_physics=False)
     params = consts.params
     sp = consts.sp
     im_half = build_implicit(params, geom_np, consts.hd, 0.5 * params.delt)
@@ -463,8 +468,7 @@ def make_run_steps(consts: Consts, phase: int | None = None):
     the step is launch-bound and the kernels add launches), so the
     single-member integrator always runs the XLA path; the batched runner
     (parallel/ensemble.py) keeps the consts flags."""
-    consts = dataclasses.replace(consts, pallas_physics=False,
-                                 pallas_spectral=False)
+    consts = dataclasses.replace(consts, pallas_physics=False)
     if phase is None:
         single_step = make_single_step(consts)
 

@@ -5,13 +5,16 @@ spectral flux combination (tendencies.f90:244-268), linear reference-profile
 tendencies (:283-352), the semi-implicit correction (implicit.f90:234-289),
 horizontal diffusion + stratospheric drag (time_stepping.f90:78-122) and the
 Robert-Williams leapfrog (:124-188) — is pointwise/shift/level-contraction
-algebra on tiny (2, kx, mx, nx) real-pair arrays. Round-3 profiling at 1024
-members showed this glue scattered into dozens of DMA-bound XLA fusions
-(async copy/slice-starts dominating device time), so `apply` can run the
-whole chain as a single Pallas program per member (ops/pallas_tiling
-.whole_kernel; the vmapped member axis becomes the pallas grid), keeping
-every intermediate in VMEM. The XLA path runs the SAME function, so the two
-paths cannot drift beyond the documented mosaic_safe summation-order ulps.
+algebra on tiny (2, kx, mx, nx) real-pair arrays.
+
+A Pallas execution of this chain is a MEASURED dead end, twice over
+(BENCH_NOTES rounds 3-4): per-member whole-state programs run 1.8x slower
+than the XLA fusions (per-instance table re-reads), and member tiling
+cannot amortize the tables because the chain needs 13.4 MB of scoped VMEM
+per member (a 2-member tile already exceeds the 16 MB core limit). The XLA
+stage costs 1.9 ms/step at 256 members — 18% of the step. The
+`mosaic_safe` parameter (kernel-compatible cumsum/einsum formulations)
+remains for the experiment harness (tools/exp_glue.py).
 """
 
 from __future__ import annotations
@@ -88,9 +91,8 @@ def spectral_update(consts, j1: int, dt: float, eps: float,
 
 
 def apply_spectral_update(consts, state, specs, psdt, j1: int, dt: float):
-    """Run spectral_update over the state dict — as one Pallas program when
-    consts.pallas_spectral is set (TPU batched path), else as plain XLA (the
-    reference-ordered default; golden fixtures pin this path bitwise)."""
+    """Run spectral_update over the state dict as plain XLA (the
+    reference-ordered formulation; golden fixtures pin this path bitwise)."""
     params = consts.params
     eps = 0.0 if j1 == 1 else params.rob
     ntr, kx = params.ntr, params.kx
@@ -105,18 +107,8 @@ def apply_spectral_update(consts, state, specs, psdt, j1: int, dt: float):
               flat(tr0), flat(tr1),
               state["phi"], state["tcorh"], state["qcorh"])
 
-    if consts.pallas_spectral:
-        from ..ops.pallas_tiling import whole_kernel
-        n_specs = len(specs)
-
-        def fn(*a):
-            return spectral_update(consts, j1, dt, eps, True,
-                                   list(a[:n_specs]), *a[n_specs:])
-
-        outs = whole_kernel(fn, tuple(specs) + arrays)
-    else:
-        outs = spectral_update(consts, j1, dt, eps, False, list(specs),
-                               *arrays)
+    outs = spectral_update(consts, j1, dt, eps, False, list(specs),
+                           *arrays)
 
     (ps0, ps1, vor0, vor1, div0, div1, t0, t1, trf0, trf1) = outs
     unflat = lambda a: a.reshape((2, ntr, kx) + a.shape[-2:])

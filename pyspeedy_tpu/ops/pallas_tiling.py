@@ -9,7 +9,9 @@ not close over arrays), and shape-padding of small constants to Mosaic's
 rank >= 2 requirement.
 
 Used by physics/pallas_physics.py (the physics megakernel) and
-models/tendencies.py (the grid-point dynamics kernel).
+models/tendencies.py (the grid-point dynamics kernel). (A whole-state
+per-member execution mode, `whole_kernel`, was deleted in round 4 after
+measuring as a dead end twice — see models/spectral_glue.py.)
 """
 
 from __future__ import annotations
@@ -19,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 
-__all__ = ["tiled_columnwise", "whole_kernel"]
+__all__ = ["tiled_columnwise"]
 
 
 def _pad2d(shape):
@@ -49,67 +51,6 @@ def _spec_for(shape, tile, il):
 
         return pl.BlockSpec(block, index)
     return pl.BlockSpec(tuple(shape), _zero_index(nd))
-
-
-def whole_kernel(fn, args, interpret=False):
-    """Run `fn(*args) -> pytree` as ONE Pallas program with every operand and
-    output resident whole in VMEM (grid=()): the execution mode for the
-    spectral-glue megakernel, whose per-member arrays are tiny (~32 KB each)
-    but whose XLA execution scatters into dozens of DMA-bounded fusions.
-    Under vmap the member axis becomes the pallas grid dimension, one program
-    per member. Captured numpy/jnp constants are hoisted into kernel inputs
-    (Pallas kernels may not close over arrays)."""
-    args = tuple(args)
-    n_args = len(args)
-    interpret = interpret or jax.default_backend() != "tpu"
-
-    flat_fn_tree = {}
-
-    def flat_fn(*a):
-        out = fn(*a)
-        leaves, treedef = jax.tree.flatten(out)
-        flat_fn_tree["treedef"] = treedef
-        return tuple(leaves)
-
-    closed = jax.make_jaxpr(flat_fn)(
-        *[jax.ShapeDtypeStruct(np.shape(x), jnp.result_type(x))
-          for x in args])
-    out_treedef = flat_fn_tree["treedef"]
-    hoisted = list(closed.consts)
-    hoisted_shapes = [np.shape(c) for c in hoisted]
-    hoisted_in = [jnp.asarray(c).reshape(_pad2d(np.shape(c)))
-                  for c in hoisted]
-
-    # grid=(): index maps take no grid arguments.
-    zi = lambda nd: (lambda *_: (0,) * nd)
-    inputs = args + tuple(hoisted_in)
-    in_specs = [pl.BlockSpec(np.shape(x), zi(np.ndim(x))) for x in inputs]
-
-    # Output avals come from the jaxpr already traced above (a second
-    # eval_shape would re-trace the whole chain).
-    flat_out = closed.out_avals
-    out_shape = [jax.ShapeDtypeStruct(a.shape, a.dtype) for a in flat_out]
-    out_specs = [pl.BlockSpec(a.shape, zi(len(a.shape))) for a in flat_out]
-
-    def kernel(*refs):
-        in_refs = refs[:len(inputs)]
-        out_refs = refs[len(inputs):]
-        vals = [r[...] for r in in_refs[:n_args]]
-        consts_v = [r[...].reshape(s) for r, s in
-                    zip(in_refs[n_args:], hoisted_shapes)]
-        outs = jax.core.eval_jaxpr(closed.jaxpr, consts_v, *vals)
-        for r, o in zip(out_refs, outs):
-            r[...] = o
-
-    flat = pl.pallas_call(
-        kernel,
-        grid=(),
-        in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=out_shape,
-        interpret=interpret,
-    )(*inputs)
-    return jax.tree.unflatten(out_treedef, flat)
 
 
 def tiled_columnwise(fn, args, il, tile=None, interpret=False):

@@ -17,7 +17,7 @@ from ..models import model as M
 from .mesh import ensemble_state_sharding
 
 __all__ = ["broadcast_state", "make_run_steps_batched", "shard_ensemble",
-           "BF16_CACHE_FIELDS", "MEMBER_CHUNK", "pick_member_chunk"]
+           "MEMBER_CHUNK", "pick_member_chunk"]
 
 # Measured throughput knee (BENCH_NOTES round 3): one 1024-wide scan runs
 # ~25% slower than four sequential 256-wide scans of the same executable
@@ -33,17 +33,10 @@ def pick_member_chunk(n_members: int) -> int:
         return MEMBER_CHUNK
     return n_members
 
-# The nstrad shortwave cache is the largest carried block of the batched
-# state (rad_tau2 alone is ~590 KB/member, ~22% of the carry). Carrying it
-# in bfloat16 halves that HBM traffic; the up/down casts at the step-group
-# boundary fuse into neighboring elementwise work. Numeric cost: one bf16
-# rounding (~0.4% rel) per shortwave rewrite on radiative fluxes/heating —
-# bounded, diagnostic-path only (the leapfrog prognostics stay full
-# precision). Default ON for the TPU f32 fast path; parity paths (CPU/f64)
-# keep full precision.
-BF16_CACHE_FIELDS = frozenset({
-    "tt_rsw", "rad_tau2", "rad_strat_corr", "tsr", "ssrd", "ssr",
-    "qcloud_equiv"})
+# NB round 3 carried the nstrad shortwave cache in bfloat16 to cut its
+# scan-carry traffic. The round-4 SW-ALIGNED scan (run_aligned below)
+# removes those fields from the carry entirely — full precision AND less
+# traffic — so the bf16 cache machinery was deleted.
 
 
 def broadcast_state(state: dict, n_members: int) -> dict:
@@ -64,19 +57,16 @@ def broadcast_state(state: dict, n_members: int) -> dict:
 
 def make_run_steps_batched(consts, mesh=None, shard_space: bool = True,
                            donate: bool = False, phase: int | None = None,
-                           fuse_transforms: bool = False,
-                           bf16_cache: bool | None = None):
+                           fuse_transforms: bool = False):
     """Jitted n-step integrator over a member-batched state (leading member
     axis on DYNAMIC_FIELDS only). When a mesh is given, the state is
     constrained to the ensemble/space sharding layout.
 
-    phase: current_step % 3 at the scan start; when given, the scan runs over
-    step-triples with statically-placed shortwave (see model.make_run_steps)
-    and requires n_steps % 3 == 0.
-
-    bf16_cache: carry the shortwave radiation cache (BF16_CACHE_FIELDS) in
-    bfloat16 across scan iterations; defaults to on for TPU f32 runs. The
-    returned state is cast back to the model dtype.
+    phase: current_step % 3 at the scan start. With physics on, the scan
+    runs SW-ALIGNED step triples (shortwave at position 0), so the
+    radiation cache flows as within-body values and never crosses the scan
+    carry (any n_steps). With physics off (or phase=None) the unaligned
+    group scan is used (phase then requires n_steps % 3 == 0).
 
     donate: input-buffer donation measured NO speedup on this backend
     (round 3) and invalidates the loop-invariant arrays SHARED between
@@ -87,18 +77,6 @@ def make_run_steps_batched(consts, mesh=None, shard_space: bool = True,
     # mega-concat variant regressed the batched path on TPU in round-1
     # profiling (see Consts), so it stays opt-in here.
     consts = dataclasses.replace(consts, fuse_transforms=fuse_transforms)
-    if bf16_cache is None:
-        bf16_cache = (jax.default_backend() == "tpu"
-                      and consts.params.precision == "f32")
-    mdtype = consts.params.dtype
-
-    def cache_down(d):
-        return {k: (v.astype(jnp.bfloat16) if k in BF16_CACHE_FIELDS else v)
-                for k, v in d.items()}
-
-    def cache_up(d):
-        return {k: (v.astype(mdtype) if k in BF16_CACHE_FIELDS else v)
-                for k, v in d.items()}
 
     # Carry only fields whose previous-step value is actually consumed;
     # EPHEMERAL_FIELDS are recomputed before use every step (see model.py).
@@ -109,6 +87,19 @@ def make_run_steps_batched(consts, mesh=None, shard_space: bool = True,
         static = {k: v for k, v in state.items() if k not in carry_fields}
         return dyn, static
 
+    # SW-aligned execution (phase given, physics on): scan over triples that
+    # START with the shortwave step, so the radiation cache (CACHE_FIELDS,
+    # the largest carried block — rad_tau2 alone is 576 KB/member) flows as
+    # within-body values and leaves the scan carry entirely. No bf16 cache
+    # casts are needed on this path (nothing cache-like crosses the carry);
+    # numerics are bitwise identical to the unaligned structure.
+    sw_aligned = phase is not None and consts.physics_on
+    if sw_aligned:
+        from ..physics.driver import CACHE_FIELDS
+        cache_names = frozenset(CACHE_FIELDS) & carry_fields
+        step_sw = M.make_single_step(consts, static_sw=True)
+        step_ns = M.make_single_step(consts, static_sw=False)
+
     if phase is None:
         singles = [(M.make_single_step(consts), 1)]
     else:
@@ -116,10 +107,73 @@ def make_run_steps_batched(consts, mesh=None, shard_space: bool = True,
             consts, static_sw=((phase + j) % 3 == 0)), 3) for j in range(3)]
     group = singles[0][1]
 
-    def run(state, ctx):
+    def run_aligned(state, ctx):
+        n = jax.tree.leaves(ctx)[0].shape[0]
+        q = min((3 - phase) % 3, n)          # no-SW steps before alignment
+        m = n - q
+        n_triples, r = divmod(m, 3)
+        # tail (outside the scan): the last full triple plus the leftover —
+        # its SW step recomputes the cache, returned member-batched together
+        # with the final EPHEMERAL diagnostics.
+        tail_n = m - 3 * max(n_triples - 1, 0)
+
         dyn, static = split(state)
-        if bf16_cache:
-            dyn = cache_down(dyn)
+
+        def at(tree_ctx, i):
+            return jax.tree.map(lambda a: a[i], tree_ctx)
+
+        # -- prefix: consumes the incoming cache (still in the carry dict) --
+        for j in range(q):
+            ctx_j = at(ctx, j)
+
+            def one_pre(dd, c=ctx_j):
+                st = step_ns({**static, **dd}, c)
+                return {k: st[k] for k in dd}
+
+            dyn = jax.vmap(one_pre)(dyn)
+
+        # -- aligned scan: cache stripped from the carry ------------------
+        dyn_nc = {k: v for k, v in dyn.items() if k not in cache_names}
+        if n_triples > 1:
+            ctx_scan = jax.tree.map(
+                lambda a: a[q:q + 3 * (n_triples - 1)].reshape(
+                    (n_triples - 1, 3) + a.shape[1:]), ctx)
+
+            def body(d, ctx_t):
+                def one(dd):
+                    st = {**static, **dd}
+                    st = step_sw(st, at(ctx_t, 0))
+                    st = step_ns(st, at(ctx_t, 1))
+                    st = step_ns(st, at(ctx_t, 2))
+                    return {k: st[k] for k in dd}
+
+                return jax.vmap(one)(d), None
+
+            dyn_nc, _ = jax.lax.scan(body, dyn_nc, ctx_scan)
+
+        # -- tail -----------------------------------------------------------
+        if tail_n == 0:
+            # No aligned step ran: the incoming cache passes through.
+            return {**static, **dyn}
+        ctx_tail = jax.tree.map(lambda a: a[n - tail_n:], ctx)
+        eph_names = M.EPHEMERAL_FIELDS
+
+        def one_tail(dd):
+            st = {**static, **dd}
+            for j in range(tail_n):
+                fn = step_sw if j % 3 == 0 else step_ns
+                st = fn(st, at(ctx_tail, j))
+            return ({k: st[k] for k in dd},
+                    {k: st[k] for k in cache_names},
+                    {k: st[k] for k in eph_names if k in st})
+
+        dyn_nc, cache_out, eph = jax.vmap(one_tail)(dyn_nc)
+        return {**static, **dyn_nc, **cache_out, **eph}
+
+    def run(state, ctx):
+        if sw_aligned:
+            return run_aligned(state, ctx)
+        dyn, static = split(state)
         ctx_g = jax.tree.map(
             lambda a: a.reshape((-1, group) + a.shape[1:]), ctx)
         # The last step group runs OUTSIDE the scan so the final values of the
@@ -138,11 +192,8 @@ def make_run_steps_batched(consts, mesh=None, shard_space: bool = True,
 
         def body(d, ctx_t):
             def one(dd):
-                if bf16_cache:
-                    dd = cache_up(dd)
                 st = run_group({**static, **dd}, ctx_t)
-                out = {k: st[k] for k in dd}
-                return cache_down(out) if bf16_cache else out
+                return {k: st[k] for k in dd}
 
             return jax.vmap(one)(d), None
 
@@ -156,8 +207,6 @@ def make_run_steps_batched(consts, mesh=None, shard_space: bool = True,
         eph_names = M.EPHEMERAL_FIELDS if consts.physics_on else frozenset()
 
         def one_final(dd):
-            if bf16_cache:
-                dd = cache_up(dd)
             st = run_group({**static, **dd}, ctx_last)
             return ({k: st[k] for k in dd},
                     {k: st[k] for k in eph_names if k in st})

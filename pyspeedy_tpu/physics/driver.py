@@ -51,7 +51,7 @@ DIAG_FIELDS = ("cbmf", "precnv", "precls", "slrd", "slr", "olr",
 
 
 def grid_physics(consts, sw_flag, ug, vg, tg, qg, phig, pslg, bc, cache,
-                 ablco2, coa2d=None):
+                 ablco2, coa2d=None, phisg=None, m0corr=None):
     """The full grid-space physics chain (physics.f90:107-232) on explicit
     arrays. Returns (utend, vtend, ttend, qtend, diag, new_cache) where the
     tendencies are the PHYSICS-ONLY contributions (added to the dynamics
@@ -62,15 +62,39 @@ def grid_physics(consts, sw_flag, ug, vg, tg, qg, phig, pslg, bc, cache,
     (lax.cond). All operations are column-local: elementwise over (il, ix)
     with reductions only along the level/band axes — the precondition for
     the Pallas tiled execution.
+
+    phig=None (consts.grid_phi fast path) reconstructs the geopotential
+    in-body by the column-local hydrostatic recursion from tg, phisg (grid
+    surface geopotential) and m0corr (the zonally-uniform m=0 lapse-rate
+    correction, (kx, il, 1), synthesized by the caller from spectral t) —
+    exact commutation with geopotential.f90:49-77, and inside the Pallas
+    kernel it removes both the phi transform stack and the phig HBM
+    round-trip.
     """
     geom = consts.geom
     params = consts.params
     kx = params.kx
+    if phig is None:
+        xg1 = np.asarray(consts.gp.xgeop1)
+        xg2 = np.asarray(consts.gp.xgeop2)
+        levels = [None] * kx
+        levels[kx - 1] = phisg + float(xg1[kx - 1]) * tg[kx - 1]
+        for k in range(kx - 2, -1, -1):
+            levels[k] = (levels[k + 1] + float(xg2[k + 1]) * tg[k + 1]
+                         + float(xg1[k]) * tg[k])
+        phig = jnp.stack(levels, axis=0) + m0corr
     (fmask_land, phis0, forog, sst_am, alb_land, alb_sea, alb_surface,
      snowc, land_temp, soil_avail_water, zenit_correction, flux_solar_in,
      flux_ozone_upper, flux_ozone_lower, stratospheric_correction,
      ssti_om) = bc
-    tt_rsw_c, rad_tau2_c, rad_sc_c, tsr_c, ssrd_c, ssr_c, qcloud_c = cache
+    if cache:
+        tt_rsw_c, rad_tau2_c, rad_sc_c, tsr_c, ssrd_c, ssr_c, qcloud_c = cache
+    else:
+        # Statically shortwave-specialized steps recompute the whole cache
+        # (SW-aligned scans carry none): the cached branch is dead code.
+        assert sw_flag is True, "empty cache requires a static SW step"
+        tt_rsw_c = rad_tau2_c = rad_sc_c = tsr_c = ssrd_c = ssr_c = \
+            qcloud_c = None
 
     # --- thermodynamics (physics.f90:107-116) ---
     psg = jnp.exp(pslg)
@@ -203,25 +227,62 @@ def get_physical_tendencies(consts, state, ctx, utend, vtend, ttend, trtend):
     from ..models.tendencies import _multi_spec2grid
 
     ucos, vcos = S.vort2vel_p(sp, state["vor"][0], state["div"][0])
-    ug, vg, tg, qg, phig, pslg1 = _multi_spec2grid(
-        sp,
-        [ucos, vcos, state["t"][0], state["tr"][0][:, 0], state["phi"],
-         state["ps"][0][:, None]],
-        consts.fuse_transforms)
+    sw_flag = ctx["compute_shortwave"]
+    use_pallas = consts.pallas_physics and isinstance(sw_flag, bool)
+    if consts.grid_phi:
+        # phig by grid-space hydrostatic integration of tg (exact
+        # commutation; saves the kx-level phi synthesis stack). On the
+        # Pallas path the recursion runs INSIDE the kernel, which also
+        # removes the phig HBM round-trip; only the tiny zonally-uniform
+        # m=0 lapse-rate correction is synthesized here ((nx -> il) matvec).
+        from ..models.geopotential import get_geopotential_grid
+
+        ug, vg, tg, qg, pslg1 = _multi_spec2grid(
+            sp,
+            [ucos, vcos, state["t"][0], state["tr"][0][:, 0],
+             state["ps"][0][:, None]],
+            consts.fuse_transforms)
+        phig = None
+        if not use_pallas:
+            phig = get_geopotential_grid(consts.gp, sp, tg, state["t"][0],
+                                         state["phisg"])
+    else:
+        ug, vg, tg, qg, phig, pslg1 = _multi_spec2grid(
+            sp,
+            [ucos, vcos, state["t"][0], state["tr"][0][:, 0], state["phi"],
+             state["ps"][0][:, None]],
+            consts.fuse_transforms)
     rcos = sp.cosgr[:, None]
     ug = ug * rcos
     vg = vg * rcos
     pslg = pslg1[0]
 
     bc = tuple(state[name] for name in BC_FIELDS)
-    cache = tuple(state[name] for name in CACHE_FIELDS)
-    sw_flag = ctx["compute_shortwave"]
+    # Statically-SW steps never read the cache: pass none (the SW-aligned
+    # batched scan does not carry the CACHE_FIELDS at all, and on the other
+    # paths this prunes the dead Pallas kernel operands).
+    if sw_flag is True:
+        cache = ()
+    else:
+        cache = tuple(state[name] for name in CACHE_FIELDS)
 
-    if consts.pallas_physics and isinstance(sw_flag, bool):
+    if use_pallas:
         from .pallas_physics import grid_physics_pallas
+        phisg = m0corr = None
+        if phig is None:
+            gp = consts.gp
+            t0 = state["t"][0][0][..., :, 0, :]        # (kx, nx) real m=0
+            zero = jnp.zeros_like(t0[..., :1, :])
+            tpad = jnp.concatenate([zero, t0, zero], axis=-2)
+            dtk = tpad[..., 2:, :] - tpad[..., :-2, :]
+            leg0 = sp.cpol_inv_full[:, 0, :]           # (il, nx)
+            m0corr = jnp.einsum("...kn,jn->...kj",
+                                gp.corf[:, None] * dtk, leg0)[..., None]
+            m0corr = m0corr.astype(tg.dtype)
+            phisg = state["phisg"]
         ut, vt, tt, qt, diag, new_cache = grid_physics_pallas(
             consts, sw_flag, ug, vg, tg, qg, phig, pslg, bc, cache,
-            state["air_absortivity_co2"])
+            state["air_absortivity_co2"], phisg=phisg, m0corr=m0corr)
     else:
         ut, vt, tt, qt, diag, new_cache = grid_physics(
             consts, sw_flag, ug, vg, tg, qg, phig, pslg, bc, cache,

@@ -29,10 +29,14 @@ __all__ = ["grid_physics_pallas"]
 
 def grid_physics_pallas(consts, sw_flag: bool, ug, vg, tg, qg, phig, pslg,
                         bc, cache, ablco2, tile: int | None = None,
-                        interpret: bool = False):
+                        interpret: bool = False, phisg=None, m0corr=None):
     """Pallas-tiled execution of driver.grid_physics (same signature and
     return structure). sw_flag must be a Python bool (the phase-specialized
-    scans provide one; traced-flag steps fall back to the XLA path)."""
+    scans provide one; traced-flag steps fall back to the XLA path).
+
+    phig=None selects the in-kernel hydrostatic geopotential (see
+    driver.grid_physics): phisg (il, ix) and m0corr (kx, il, 1) enter as
+    latitude-tiled operands instead of the full phig stack."""
     from .driver import grid_physics
 
     params = consts.params
@@ -47,17 +51,29 @@ def grid_physics_pallas(consts, sw_flag: bool, ug, vg, tg, qg, phig, pslg,
     coa2d = jnp.broadcast_to(
         jnp.asarray(consts.geom.coa, dtype=pslg.dtype)[:, None], (il, ix))
 
-    args = ((ug, vg, tg, qg, phig, pslg) + tuple(bc) + tuple(cache)
-            + (coa2d, ab2))
+    in_phi = (pslg,) if phig is None else (phig, pslg)
+    extra = (phisg, m0corr) if phig is None else ()
+    n_head = 4 + len(in_phi)
+    args = ((ug, vg, tg, qg) + in_phi + tuple(bc) + tuple(cache)
+            + extra + (coa2d, ab2))
 
     def body(*vals):
-        ug_b, vg_b, tg_b, qg_b, phig_b, pslg_b = vals[:6]
-        bc_b = tuple(vals[6:6 + n_bc])
-        cache_b = tuple(vals[6 + n_bc:6 + n_bc + n_cache])
+        ug_b, vg_b, tg_b, qg_b = vals[:4]
+        if phig is None:
+            pslg_b = vals[4]
+            phig_b = None
+        else:
+            phig_b, pslg_b = vals[4:6]
+        bc_b = tuple(vals[n_head:n_head + n_bc])
+        cache_b = tuple(vals[n_head + n_bc:n_head + n_bc + n_cache])
+        if phig is None:
+            phisg_b, m0_b = vals[-4:-2]
+        else:
+            phisg_b = m0_b = None
         coa_b = vals[-2]
         ab_b = vals[-1][0, 0]
         return grid_physics(consts, sw_flag, ug_b, vg_b, tg_b, qg_b,
                             phig_b, pslg_b, bc_b, cache_b, ab_b,
-                            coa2d=coa_b)
+                            coa2d=coa_b, phisg=phisg_b, m0corr=m0_b)
 
     return tiled_columnwise(body, args, il, tile=tile, interpret=interpret)

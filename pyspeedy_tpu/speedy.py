@@ -560,7 +560,10 @@ class SpeedyEns:
 
         n = len(self.members)
         chunk = pick_member_chunk(n)
-        phase = (lead._current_step % 3) if n_steps % 3 == 0 else None
+        # The SW-aligned runner (physics on) handles any n_steps; the
+        # unaligned group scan (physics off) needs whole triples.
+        phase = (lead._current_step % 3) if (
+            lead._consts.physics_on or n_steps % 3 == 0) else None
         key = (id(lead._consts), phase, chunk)
         if key not in self._batched_run:
             self._batched_run[key] = make_run_steps_batched(

@@ -245,3 +245,50 @@ def test_other_resolutions_run(preset):
     consts, state = run_days(params, 2)
     assert not bool(state["error_flag"])
     assert np.isfinite(np.asarray(state["t"])).all()
+
+
+def test_grid_phi_matches_spectral_path():
+    """consts.grid_phi reconstructs the physics-path geopotential by
+    grid-space hydrostatic integration (models/geopotential.py
+    get_geopotential_grid) — a re-association of two commuting linear
+    operators, so trajectories must agree to rounding."""
+    import dataclasses
+
+    import jax
+    import numpy as np
+
+    from pyspeedy_tpu.models import model as M
+    from pyspeedy_tpu.ops import spectral as S
+    from pyspeedy_tpu.models.geopotential import (get_geopotential,
+                                                  get_geopotential_grid)
+    from pyspeedy_tpu.params import T30L8
+    from pyspeedy_tpu.testing import make_demo_model
+
+    params = dataclasses.replace(T30L8, fft_mode="matmul")
+    consts, state, cal = make_demo_model(params)
+    assert "phisg" in state
+
+    # Direct operator identity: spec2grid(phi) == grid-space recursion.
+    phi = get_geopotential(consts.gp, state["t"][0], state["phis"])
+    phig_ref = S.spec2grid_p(consts.sp, phi, 1)
+    tg = S.spec2grid_p(consts.sp, state["t"][0], 1)
+    phig = get_geopotential_grid(consts.gp, consts.sp, tg, state["t"][0],
+                                 state["phisg"])
+    np.testing.assert_allclose(np.asarray(phig), np.asarray(phig_ref),
+                               rtol=0, atol=1e-9 * np.abs(phig_ref).max())
+
+    # Trajectory agreement over a few steps (chaotic growth from the ulp
+    # re-association stays tiny at this horizon in f64).
+    ctx, _ = M.build_step_ctx(cal, 2, 6)
+    run_off = M.make_run_steps(consts, phase=2)
+    out_off = run_off(dict(state), ctx)
+    consts_on = dataclasses.replace(consts, grid_phi=True)
+    run_on = M.make_run_steps(consts_on, phase=2)
+    out_on = run_on(dict(state), ctx)
+    for name in ("vor", "div", "t", "ps"):
+        for lev in range(2):
+            a = np.asarray(out_off[name][lev])
+            b = np.asarray(out_on[name][lev])
+            scale = np.abs(a).max() or 1.0
+            assert np.abs(a - b).max() / scale < 1e-10, (name, lev)
+    assert not bool(out_on["error_flag"])

@@ -1,7 +1,7 @@
-"""The spectral-glue Pallas path (models/spectral_glue.py, interpret mode on
-CPU) must track the default XLA glue to summation-order ulps: the two paths
-run the SAME code, differing only in the mosaic_safe cumsum/einsum
-formulations (see tendencies.spectral_linear_tendencies)."""
+"""The spectral-glue mosaic_safe formulations (log-shift prefix sums,
+broadcast-sum contractions — kept for the experiment harness,
+tools/exp_glue.py) must track the default reference-ordered XLA glue to
+summation-order ulps; plus the batched-runner chaining contract."""
 
 import dataclasses
 
@@ -14,27 +14,35 @@ from pyspeedy_tpu.parallel.ensemble import (broadcast_state,
                                             make_run_steps_batched)
 
 
-def test_pallas_spectral_glue_matches_xla():
+def test_mosaic_safe_glue_matches_reference_order():
+    from pyspeedy_tpu.models.spectral_glue import spectral_update
+
     params = dataclasses.replace(T30L8, fft_mode="matmul")
     consts, state, cal = make_demo_model(params)
-    b = broadcast_state(state, 2)
-    ctx, _ = M.build_step_ctx(cal, 2, 3)
+    ntr, kx = params.ntr, params.kx
+    rng = np.random.default_rng(3)
 
-    run_x = make_run_steps_batched(
-        dataclasses.replace(consts, pallas_spectral=False), phase=2,
-        donate=False)
-    run_p = make_run_steps_batched(
-        dataclasses.replace(consts, pallas_spectral=True), phase=2,
-        donate=False)
-    ox = run_x(b, ctx)
-    op = run_p(b, ctx)
-    for name in ("vor", "div", "t", "ps", "tr"):
-        for lev in range(2):
-            a = np.asarray(op[name][lev])
-            c = np.asarray(ox[name][lev])
-            scale = np.abs(c).max() or 1.0
-            rel = np.abs(a - c).max() / scale
-            assert rel < 1e-11, f"{name}[{lev}]: rel {rel:.3e}"
+    def mk(*shape):
+        return 1e-5 * rng.standard_normal(shape)
+
+    specs = [mk(2, kx, params.mx, params.nx) for _ in range(10)]
+    flat = lambda a: a.reshape((2, ntr * kx) + a.shape[-2:])
+    arrays = (mk(2, params.mx, params.nx),
+              state["vor"][0], state["vor"][1],
+              state["div"][0], state["div"][1],
+              state["t"][0], state["t"][1],
+              state["ps"][0], state["ps"][1],
+              flat(state["tr"][0]), flat(state["tr"][1]),
+              state["phi"] if "phi" in state else mk(2, kx, params.mx,
+                                                     params.nx),
+              state["tcorh"], state["qcorh"])
+    dt = 2.0 * params.delt
+    ref = spectral_update(consts, 2, dt, params.rob, False, specs, *arrays)
+    saf = spectral_update(consts, 2, dt, params.rob, True, specs, *arrays)
+    for i, (a, b) in enumerate(zip(ref, saf)):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(a).max() or 1.0
+        assert np.abs(a - b).max() / scale < 1e-12, i
 
 
 def test_batched_runner_output_chains_back():

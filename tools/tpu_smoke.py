@@ -143,6 +143,33 @@ def pallas_parity():
     return worst < 1e-5, worst
 
 
+def resolution_smoke(params, n_days):
+    """Short TPU stability run at a beyond-reference resolution preset
+    (T47/T63): n_days of integration must stay finite with the per-step
+    diagnostics check clean. Gates the resolution-scaling story (the
+    one-off 40/90-day runs are in BENCH_NOTES; this is the repeatable
+    check). Returns (ok, detail)."""
+    from pyspeedy_tpu.models import model as M
+    from pyspeedy_tpu.testing import make_demo_model
+
+    params = dataclasses.replace(params, precision="f32",
+                                 fft_mode="matmul")
+    M._CONSTS_CACHE.clear()
+    M._RUN_FN_CACHE.clear()
+    M._DEVICE_INIT_CACHE.clear()
+    consts, state, cal = make_demo_model(params)
+    run = M.make_run_steps(consts, phase=2)
+    n = n_days * params.nsteps
+    n -= n % 3
+    ctx, _ = M.build_step_ctx(cal, 2, n)
+    out = run(state, ctx)
+    jax.block_until_ready(out)
+    t = np.asarray(out["t"][0])
+    finite = bool(np.isfinite(t).all())
+    err = bool(np.asarray(out["error_flag"]))
+    return finite and not err, {"finite": finite, "error_flag": err}
+
+
 def main():
     if jax.default_backend() == "cpu":
         print(json.dumps({"ok": False, "reason": "no TPU attached"}))
@@ -159,13 +186,26 @@ def main():
 
     pallas_ok, pallas_rel_err = pallas_parity()
 
+    # Beyond-reference resolution stability (runtime presets): a few
+    # simulated days each, finite + diagnostics clean.
+    from pyspeedy_tpu.params import T47L8, T63L8
+
+    res = {}
+    for name, preset, days in (("t47", T47L8, 5), ("t63", T63L8, 5)):
+        try:
+            ok_r, detail = resolution_smoke(preset, days)
+        except Exception as e:  # noqa: BLE001 - transient remote-compiler
+            ok_r, detail = False, {"error": str(e)[:300]}
+        res[f"{name}_ok"] = ok_r
+        res[f"{name}_detail"] = detail
+
     ok = (finite and not err_tpu and not err_cpu and drift < 5e-2
-          and pallas_ok)
+          and pallas_ok and res["t47_ok"] and res["t63_ok"])
     print(json.dumps({"ok": ok, "finite": finite, "error_flag": err_tpu,
                       "day1_t_drift_rel": drift,
                       "pallas_bitwise_ok": pallas_rel_err == 0.0,
                       "pallas_ok": pallas_ok,
-                      "pallas_kernel_max_rel_err": pallas_rel_err}))
+                      "pallas_kernel_max_rel_err": pallas_rel_err, **res}))
     sys.exit(0 if ok else 1)
 
 
