@@ -76,6 +76,18 @@ class Consts:
     # the reference-ordered spectral path only in summation order (ulp), so
     # the CPU parity path keeps it off.
     grid_phi: bool = False
+    # Emit the TENDENCY-class grid outputs (dynamics tendencies, flux-form
+    # products, KE, physics tendency adds) in bfloat16 from inside the
+    # Pallas kernels, so the direct-transform GEMMs read 2-byte operands
+    # (bf16 MXU inputs, f32 accumulation; spectral results stay f32). The
+    # casts MUST originate inside the kernels: the tunneled XLA compiler
+    # runs with allow_excess_precision and elides XLA-side f32->bf16
+    # converts that feed dots (measured: zero effect AND zero error).
+    # Rounds each per-step increment at ~2^-9 relative — prognostic state
+    # and synthesis stay full precision. Default on for TPU f32
+    # (build_consts; climate-validated at -0.02 K / 240 days, BENCH_NOTES
+    # round 4), off elsewhere and on every parity path.
+    bf16_tendencies: bool = False
     # Concatenate all per-step transforms into single mega-batched calls.
     # A large win for single-member runs (fewer launches, bigger matmuls);
     # measured HARMFUL on the vmapped ensemble path on TPU (the concats
@@ -138,6 +150,14 @@ def build_consts(params: ModelParams, **flags) -> tuple[Consts, Geometry]:
     # Consts.grid_phi); default on for TPU where ulp-order is already set by
     # the Mosaic kernels, off on the CPU parity path (fixtures are bitwise).
     flags.setdefault("grid_phi", jax.default_backend() == "tpu")
+    # bf16 tendency rounding (see Consts.bf16_tendencies): default on for
+    # the TPU f32 fast path (+11% ensemble throughput; climate delta
+    # measured at -0.02 K over 16-member 240-day runs, well inside the
+    # 0.6 K sampling std — BENCH_NOTES round 4). The CPU parity path and
+    # f64 runs keep full-precision tendencies.
+    flags.setdefault("bf16_tendencies",
+                     jax.default_backend() == "tpu"
+                     and params.precision == "f32")
     sp = S.build_spectral(params, geom_np, use_matmul_fft=use_matmul)
     hd = build_hordif(params, geom_np)
     gp = build_geopot(params, geom_np)
@@ -261,7 +281,8 @@ def _make_device_init(consts: Consts, geom_np: Geometry):
 
     # Initialization runs at batch=1: the XLA path wins there (see
     # make_run_steps).
-    consts = dataclasses.replace(consts, pallas_physics=False)
+    consts = dataclasses.replace(consts, pallas_physics=False,
+                                 bf16_tendencies=False)
     params = consts.params
     sp = consts.sp
     im_half = build_implicit(params, geom_np, consts.hd, 0.5 * params.delt)
@@ -468,7 +489,12 @@ def make_run_steps(consts: Consts, phase: int | None = None):
     the step is launch-bound and the kernels add launches), so the
     single-member integrator always runs the XLA path; the batched runner
     (parallel/ensemble.py) keeps the consts flags."""
-    consts = dataclasses.replace(consts, pallas_physics=False)
+    # Also disable bf16 tendencies here: without the Pallas kernels the
+    # casts originate in XLA, where the tunneled compiler's
+    # excess-precision pass elides them (no speedup) while other backends
+    # would honor them (rounding for nothing).
+    consts = dataclasses.replace(consts, pallas_physics=False,
+                                 bf16_tendencies=False)
     if phase is None:
         single_step = make_single_step(consts)
 

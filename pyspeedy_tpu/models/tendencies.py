@@ -162,8 +162,14 @@ def grid_dynamics_core(consts, vorg, divg, tg, trg_flat, ug0, vg0, pxy,
     flux_qv = jnp.concatenate([-vg * q * rcos2d for q in trg_list], axis=0)
     ke = 0.5 * (ug**2 + vg**2)
 
-    return (utend, vtend, ttend, trtend, psdt_g, flux_ut, flux_vt,
-            flux_qu, flux_qv, ke)
+    out = (utend, vtend, ttend, trtend, psdt_g, flux_ut, flux_vt,
+           flux_qu, flux_qv, ke)
+    if consts.bf16_tendencies:
+        # Cast in-kernel (see Consts.bf16_tendencies): every output here is
+        # tendency-class (per-step increments / flux-form products), so the
+        # direct transforms downstream read 2-byte operands.
+        out = tuple(x.astype(jnp.bfloat16) for x in out)
+    return out
 
 
 def get_grid_point_tendencies(consts, state, j2: int, physics_fn=None, ctx=None):
@@ -257,6 +263,9 @@ def grid_tendency_specs(consts, state, j2: int, physics_fn=None, ctx=None):
     # --- back to spectral (tendencies.f90:238-268) ---
     # Direct transforms of every outgoing field: the wind/flux pairs (scaled
     # by 1/cos as in grid_vel2vort's kcos=2) plus the scalar tendencies.
+    # On the bf16_tendencies path the operands arrive bf16 from the kernels;
+    # keep the 1/cos scaling in their dtype so no promotion re-widens them.
+    rcos = jnp.asarray(rcos, dtype=utend.dtype)
     inputs = [utend * rcos, vtend * rcos, flux_ut, flux_vt]
     for i in range(ntr):
         inputs += [flux_qu[i * kx:(i + 1) * kx], flux_qv[i * kx:(i + 1) * kx]]

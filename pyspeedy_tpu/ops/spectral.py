@@ -400,9 +400,18 @@ def _legendre_inverse(sp: SpectralTransform, spec: jnp.ndarray) -> jnp.ndarray:
 
 def _leg_dir_dense(sp: SpectralTransform, F: jnp.ndarray) -> jnp.ndarray:
     """Fourier (..., il, mx) -> spectral (..., mx, nx) as ONE flat matmul
-    against the block-diagonal dense operator (see SpectralTransform)."""
+    against the block-diagonal dense operator (see SpectralTransform).
+
+    bfloat16 operands (Consts.bf16_tendencies path) contract against a
+    bf16 copy of the table (constant-folded once) with f32 accumulation;
+    the spectral result is always f32."""
     x = F.reshape(*F.shape[:-2], sp.il * sp.mx)
-    return (x @ sp.leg_dir_dense).reshape(*F.shape[:-2], sp.mx, sp.nx)
+    if x.dtype == jnp.bfloat16:
+        out = jnp.dot(x, sp.leg_dir_dense.astype(jnp.bfloat16),
+                      preferred_element_type=sp.rdtype)
+    else:
+        out = x @ sp.leg_dir_dense
+    return out.reshape(*F.shape[:-2], sp.mx, sp.nx)
 
 
 def _leg_inv_dense(sp: SpectralTransform, S: jnp.ndarray) -> jnp.ndarray:
@@ -499,6 +508,21 @@ def grid2spec_p(sp: SpectralTransform, grid: jnp.ndarray) -> jnp.ndarray:
     Same arithmetic as grid2spec (spectral.f90:263-273) without ever forming
     a complex array on the matmul path."""
     _check_static_flags(sp)
+    if grid.dtype == jnp.bfloat16 and sp.use_matmul_fft \
+            and sp.use_dense_legendre:
+        # bf16 operand pipeline (tendency-class fields only — see
+        # Consts.bf16_tendencies): bf16 x bf16 MXU dots with f32
+        # accumulation; the Fourier intermediate stays bf16 so both GEMMs
+        # read 2-byte operands. Output spectral pair is f32.
+        dr = sp.dft_fwd_re.astype(jnp.bfloat16)
+        di = sp.dft_fwd_im.astype(jnp.bfloat16)
+        fr = jnp.dot(grid, dr,
+                     preferred_element_type=jnp.bfloat16)
+        fi = jnp.dot(grid, di,
+                     preferred_element_type=jnp.bfloat16)
+        return jnp.stack([_leg_dir_dense(sp, fr), _leg_dir_dense(sp, fi)])
+    if grid.dtype == jnp.bfloat16:
+        grid = grid.astype(sp.rdtype)
     if not sp.use_matmul_fft:
         return pair(_legendre_direct(sp, _fourier_direct(sp, grid)))
     if sp.use_dense_legendre:

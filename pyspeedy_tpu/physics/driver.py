@@ -209,6 +209,11 @@ def grid_physics(consts, sw_flag, ug, vg, tg, qg, phig, pslg, bc, cache,
             fl["ustr"], fl["vstr"], fl["shf"], fl["evap"], fl["slru"],
             hfluxn3, rad_flux, rad_st4a)
     new_cache = (tt_rsw, rad_tau2, rad_sc, tsr, ssrd, ssr, qcloud)
+    if consts.bf16_tendencies:
+        # Tendency-class outputs only (see Consts.bf16_tendencies);
+        # diagnostics and the radiation cache stay full precision.
+        utend, vtend, ttend, qtend = (
+            x.astype(jnp.bfloat16) for x in (utend, vtend, ttend, qtend))
     return utend, vtend, ttend, qtend, diag, new_cache
 
 

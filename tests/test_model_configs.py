@@ -292,3 +292,35 @@ def test_grid_phi_matches_spectral_path():
             scale = np.abs(a).max() or 1.0
             assert np.abs(a - b).max() / scale < 1e-10, (name, lev)
     assert not bool(out_on["error_flag"])
+
+
+def test_bf16_tendencies_bounded_divergence():
+    """consts.bf16_tendencies rounds each per-step tendency to bfloat16
+    (~2^-9 relative on increments): short-horizon trajectories must stay
+    finite, diagnostics-clean, and within increment-rounding distance of
+    the f32 path. (On CPU the XLA convert ops are honored, so this
+    exercises the real rounding; the TPU fast path is climate-validated in
+    BENCH_NOTES round 4.)"""
+    import dataclasses
+
+    import numpy as np
+
+    from pyspeedy_tpu.models import model as M
+    from pyspeedy_tpu.params import T30L8
+    from pyspeedy_tpu.testing import make_demo_model
+
+    params = dataclasses.replace(T30L8, precision="f32", fft_mode="matmul")
+    consts, state, cal = make_demo_model(params)
+    ctx, _ = M.build_step_ctx(cal, 2, 6)
+    out_a = M.make_run_steps(consts, phase=2)(dict(state), ctx)
+    c_b = dataclasses.replace(consts, bf16_tendencies=True)
+    out_b = M.make_run_steps(c_b, phase=2)(dict(state), ctx)
+    assert not bool(out_b["error_flag"])
+    for name, bound in (("t", 1e-3), ("ps", 1e-3), ("vor", 5e-2),
+                        ("div", 5e-2)):
+        a = np.asarray(out_a[name][0])
+        b = np.asarray(out_b[name][0])
+        assert np.isfinite(b).all(), name
+        scale = np.abs(a).max() or 1.0
+        rel = np.abs(a - b).max() / scale
+        assert rel < bound, (name, rel)
