@@ -19,11 +19,13 @@ from .mesh import ensemble_state_sharding
 __all__ = ["broadcast_state", "make_run_steps_batched", "shard_ensemble",
            "MEMBER_CHUNK", "pick_member_chunk"]
 
-# Measured throughput knee (BENCH_NOTES round 3): one 1024-wide scan runs
-# ~25% slower than four sequential 256-wide scans of the same executable
-# (HBM pressure at the wide shapes), so large ensembles advance in member
-# chunks of this width. Shared by SpeedyEns and bench.py.
-MEMBER_CHUNK = 256
+# Measured throughput optimum (BENCH_NOTES round 4, re-tuned after the
+# aligned-scan/grid_phi/bf16-tendency traffic cuts): at 1024 members,
+# 128-wide chunks run 34.5k msps vs 29.9k (256), 24.8k (512), 22.6k
+# (1024-wide) and 24.3k (64) — a sharp optimum where the per-chunk working
+# set best fits on-chip. Round 3's knee was 256. Shared by SpeedyEns and
+# bench.py.
+MEMBER_CHUNK = 128
 
 
 def pick_member_chunk(n_members: int) -> int:
