@@ -115,7 +115,7 @@ def bench_ensemble(params, consts, M, make_demo_model, n_members,
                                                 pick_member_chunk)
     n_day = params.nsteps
     _, state1, cal = make_demo_model(params)
-    chunk = pick_member_chunk(n_members)
+    chunk = pick_member_chunk(n_members, params)
     chunks = [broadcast_state(state1, chunk)
               for _ in range(n_members // chunk)]
     run = make_run_steps_batched(consts, phase=2, donate=False)
@@ -218,6 +218,14 @@ def main():
                                      n_sppt)
         msps_sppt, _ = bench_ensemble(params_sppt, consts_sppt, M,
                                       make_demo_model, n_sppt)
+        if msps_sppt > 1.5 * msps_off:
+            # Observed once: the tunneled backend returned absurd
+            # (hundreds-of-k msps) timings for a freshly compiled
+            # executable; a re-measure was sane. Guard the metric.
+            _log("bench: sppt timing implausible "
+                 f"({msps_sppt:.0f} vs {msps_off:.0f} det); re-measuring")
+            msps_sppt, _ = bench_ensemble(params_sppt, consts_sppt, M,
+                                          make_demo_model, n_sppt)
         out[f"ensemble_msps_{n_sppt}_sppt"] = round(msps_sppt)
         out["sppt_overhead_pct"] = round(100.0 * (msps_off / msps_sppt - 1),
                                          1)
@@ -250,6 +258,18 @@ def main():
             out["t63_ensemble_msps_64"] = round(msps63)
         except Exception as e:  # noqa: BLE001
             _log(f"bench: T63 ensemble failed: {e}")
+        try:
+            from pyspeedy_tpu.params import T47L8
+
+            params47 = dataclasses.replace(T47L8, precision="f32",
+                                           fft_mode="matmul")
+            consts47, _ = M.build_consts_cached(params47)
+            msps47, _ = bench_ensemble(params47, consts47, M,
+                                       make_demo_model, 64, n_repeats=2,
+                                       days_per_repeat=1)
+            out["t47_ensemble_msps_64"] = round(msps47)
+        except Exception as e:  # noqa: BLE001
+            _log(f"bench: T47 ensemble failed: {e}")
 
     print(json.dumps(out))
 

@@ -2,9 +2,9 @@
 
 The reference caps out at OpenMP threads over a few dozen members
 (speedy_driver.f90:58-79). Here 1024 members advance as vmapped scans on
-the member axis, chunked at the measured throughput knee
-(parallel/ensemble.MEMBER_CHUNK): ~25,000 member-steps/s flat from 256 to
-1024 members (BENCH_NOTES.md round 3). This script uses the internal
+the member axis, chunked at the measured throughput optimum
+(parallel/ensemble.MEMBER_CHUNK): ~35,000 member-steps/s at 1024 members
+(BENCH_NOTES.md round 4). This script uses the internal
 runner API directly — for the reference-style object API at small member
 counts, see ensemble_forecast.py (SpeedyEns batches the same way under the
 hood).

@@ -65,7 +65,17 @@ def tiled_columnwise(fn, args, il, tile=None, interpret=False):
     args = tuple(args)
     n_args = len(args)
     if tile is None:
-        tile = 16 if il % 16 == 0 else il
+        # Largest sublane-aligned divisor from the measured-good range.
+        # Falling back to tile=il is a VMEM trap at higher resolutions:
+        # T47's il=72 (not divisible by 16) put the whole latitude range in
+        # one instance and overflowed scoped VMEM at 18.3 MB — the real
+        # cause of round 3's "transient" T47 batched-compile failures.
+        for cand in (16, 24, 8):
+            if il % cand == 0:
+                tile = cand
+                break
+        else:
+            tile = il
     assert il % tile == 0, (il, tile)
     interpret = interpret or jax.default_backend() != "tpu"
 

@@ -20,19 +20,28 @@ __all__ = ["broadcast_state", "make_run_steps_batched", "shard_ensemble",
            "MEMBER_CHUNK", "pick_member_chunk"]
 
 # Measured throughput optimum (BENCH_NOTES round 4, re-tuned after the
-# aligned-scan/grid_phi/bf16-tendency traffic cuts): at 1024 members,
+# aligned-scan/grid_phi/bf16-tendency traffic cuts): at 1024 T30 members,
 # 128-wide chunks run 34.5k msps vs 29.9k (256), 24.8k (512), 22.6k
 # (1024-wide) and 24.3k (64) — a sharp optimum where the per-chunk working
 # set best fits on-chip. Round 3's knee was 256. Shared by SpeedyEns and
 # bench.py.
 MEMBER_CHUNK = 128
+# At higher resolutions the optimum shrinks much faster than the grid
+# grows (measured, 128-member ensembles): T47 17.7k msps at chunk 8 vs
+# 10.2k at 64; T63 12.5k at 4 and 12.2k at 8 vs 6.4k at 64.
+MEMBER_CHUNK_HIRES = 8
+_T30_GRID_POINTS = 96 * 48
 
 
-def pick_member_chunk(n_members: int) -> int:
-    """Chunk width for an n-member ensemble: MEMBER_CHUNK when it divides
-    the ensemble evenly past the knee, else the whole ensemble."""
-    if n_members > MEMBER_CHUNK and n_members % MEMBER_CHUNK == 0:
-        return MEMBER_CHUNK
+def pick_member_chunk(n_members: int, params=None) -> int:
+    """Chunk width for an n-member ensemble: the measured optimum for the
+    resolution when it divides the ensemble evenly, else the whole
+    ensemble."""
+    target = MEMBER_CHUNK
+    if params is not None and params.ix * params.il > _T30_GRID_POINTS:
+        target = MEMBER_CHUNK_HIRES
+    if n_members > target and n_members % target == 0:
+        return target
     return n_members
 
 # NB round 3 carried the nstrad shortwave cache in bfloat16 to cut its

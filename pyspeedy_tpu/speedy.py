@@ -559,7 +559,7 @@ class SpeedyEns:
             self._batched_run = {}
 
         n = len(self.members)
-        chunk = pick_member_chunk(n)
+        chunk = pick_member_chunk(n, lead.params)
         # The SW-aligned runner (physics on) handles any n_steps; the
         # unaligned group scan (physics off) needs whole triples.
         phase = (lead._current_step % 3) if (
