@@ -34,7 +34,7 @@ def main():
                                  fft_mode="matmul")
     consts, state, cal = make_demo_model(params)
     bstate = broadcast_state(state, n_members)
-    run = make_run_steps_batched(consts, donate=False)
+    run = make_run_steps_batched(consts, donate=False, phase=2)
     ctx, cal = M.build_step_ctx(cal, 2, n_steps)
     txt = run.lower(bstate, ctx).compile().as_text()
     with open(out_path, "w") as f:
