@@ -214,10 +214,13 @@ def main():
     try:
         params_sppt = dataclasses.replace(params, sppt_on=True)
         consts_sppt, _ = M.build_consts_cached(params_sppt)
+        # Small batches are launch-bound and window-to-window noisy through
+        # the tunnel: use more, longer windows than the big-ensemble runs.
         msps_off, _ = bench_ensemble(params, consts, M, make_demo_model,
-                                     n_sppt)
+                                     n_sppt, n_repeats=5, days_per_repeat=4)
         msps_sppt, _ = bench_ensemble(params_sppt, consts_sppt, M,
-                                      make_demo_model, n_sppt)
+                                      make_demo_model, n_sppt, n_repeats=5,
+                                      days_per_repeat=4)
         if msps_sppt > 1.5 * msps_off:
             # Observed once: the tunneled backend returned absurd
             # (hundreds-of-k msps) timings for a freshly compiled
@@ -225,7 +228,8 @@ def main():
             _log("bench: sppt timing implausible "
                  f"({msps_sppt:.0f} vs {msps_off:.0f} det); re-measuring")
             msps_sppt, _ = bench_ensemble(params_sppt, consts_sppt, M,
-                                          make_demo_model, n_sppt)
+                                          make_demo_model, n_sppt,
+                                          n_repeats=5, days_per_repeat=4)
         out[f"ensemble_msps_{n_sppt}_sppt"] = round(msps_sppt)
         out["sppt_overhead_pct"] = round(100.0 * (msps_off / msps_sppt - 1),
                                          1)
