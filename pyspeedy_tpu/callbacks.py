@@ -85,7 +85,12 @@ class ModelCheckpoint(BaseCallback):
 
 class XarrayExporter(BaseCallback):
     """Write one NetCDF per interval; ensemble members go to "member###"
-    subdirectories (reference: callbacks.py:183-255)."""
+    subdirectories (e.g. ``member002/1982-01-02_0000.nc``).
+
+    The reference *documents* this per-member layout (callbacks.py:190-192)
+    but its code writes a single merged file regardless; here the documented
+    contract is implemented: a SpeedyEns instance writes one file per member
+    under its subdirectory, a single Speedy writes one file in output_dir."""
 
     def __init__(self, interval=36, verbose=False, spinup_date=None,
                  variables=None, output_dir="./",
@@ -103,8 +108,20 @@ class XarrayExporter(BaseCallback):
     def __call__(self, model_instance):
         if self.skip_flag(model_instance):
             return
-        model_df = model_instance.to_dataframe(variables=self.variables)
         file_name = model_instance.current_date.strftime(self.filename_fmt)
+        members = getattr(model_instance, "members", None)
+        if members is not None:
+            # Ensemble: one file per member under member### (the
+            # reference's documented-but-unimplemented contract).
+            for member in members:
+                sub = os.path.join(self.output_dir,
+                                   f"member{member.member_id:03d}")
+                os.makedirs(sub, exist_ok=True)
+                path = os.path.join(sub, file_name)
+                self.print_msg(f"Saving member output at: {path}.")
+                member.to_dataframe(variables=self.variables).to_netcdf(path)
+            return
+        model_df = model_instance.to_dataframe(variables=self.variables)
         os.makedirs(self.output_dir, exist_ok=True)
         output_file_path = os.path.join(self.output_dir, file_name)
         self.print_msg(f"Saving model output at: {output_file_path}.")

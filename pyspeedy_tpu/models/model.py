@@ -56,6 +56,7 @@ class Consts:
     gp: Any                 # GeopotTables
     implicit: Any           # ImplicitTables for the current dt
     fband: Any              # (301, 4)
+    sppt: Any = None        # SpptTables (host constants) when params.sppt_on
     # NB: increase_co2 / land_coupling_flag / sst_anomaly_coupling_flag are
     # NOT consts: they are runtime-settable state scalars (traced values),
     # matching the reference registry (model_state_def.py:305-311, 377-383,
@@ -164,8 +165,11 @@ def build_consts(params: ModelParams, **flags) -> tuple[Consts, Geometry]:
     im = build_implicit(params, geom_np, hd, 2.0 * params.delt)
     dt = np.float64 if params.precision == "f64" else np.float32
     fband = jnp.asarray(radset().astype(dt))
+    sppt_tables = (sppt_mod.build_sppt_tables(params, np.asarray(sp.el2))
+                   if params.sppt_on else None)
     consts = Consts(params=params, sp=sp, geom=_geom_jnp(params, geom_np),
-                    hd=hd, gp=gp, implicit=im, fband=fband, **flags)
+                    hd=hd, gp=gp, implicit=im, fband=fband, sppt=sppt_tables,
+                    **flags)
     return consts, geom_np
 
 
@@ -460,8 +464,11 @@ def make_single_step(consts: Consts, static_sw=None):
 
         sw = ctx_i["compute_shortwave"] if static_sw is None else static_sw
         state["compute_shortwave"] = jnp.asarray(sw)
-        state = step(consts, state, 2, 2, 2.0 * params.delt, pf,
-                     {"compute_shortwave": sw})
+        pctx = {"compute_shortwave": sw}
+        if "sppt_pattern" in ctx_i:
+            # Group-precomputed SPPT pattern (see physics/driver.py).
+            pctx["sppt_pattern"] = ctx_i["sppt_pattern"]
+        state = step(consts, state, 2, 2, 2.0 * params.delt, pf, pctx)
 
         bad = check_diagnostics(consts, state, 1)
         state["error_flag"] = state["error_flag"] | bad
@@ -515,6 +522,7 @@ def make_run_steps(consts: Consts, phase: int | None = None):
     # triple is stepno = first + 3*i + j, so the pattern is phase-periodic.
     steps3 = [make_single_step(consts, static_sw=((phase + j) % 3 == 0))
               for j in range(3)]
+    sppt_grouped = consts.params.sppt_on and consts.physics_on
 
     @jax.jit
     def run_steps3(state, ctx):
@@ -523,8 +531,15 @@ def make_run_steps(consts: Consts, phase: int | None = None):
 
         def body(d, ctx_t):
             st = {**static, **d}
+            if sppt_grouped:
+                # One fused RNG draw + one batched inverse transform per
+                # triple (the per-step form is launch-bound; see sppt.py).
+                pats, st = sppt_mod.gen_sppt_n(consts, st, 3)
             for j, fn in enumerate(steps3):
-                st = fn(st, {k: v[j] for k, v in ctx_t.items()})
+                ctx_j = {k: v[j] for k, v in ctx_t.items()}
+                if sppt_grouped:
+                    ctx_j["sppt_pattern"] = pats[j]
+                st = fn(st, ctx_j)
             return {k: st[k] for k in d}, None
 
         dyn, _ = jax.lax.scan(body, dyn, ctx3)

@@ -105,11 +105,14 @@ def make_run_steps_batched(consts, mesh=None, shard_space: bool = True,
     # casts are needed on this path (nothing cache-like crosses the carry);
     # numerics are bitwise identical to the unaligned structure.
     sw_aligned = phase is not None and consts.physics_on
+    sppt_grouped = consts.params.sppt_on and consts.physics_on
     if sw_aligned:
         from ..physics.driver import CACHE_FIELDS
         cache_names = frozenset(CACHE_FIELDS) & carry_fields
         step_sw = M.make_single_step(consts, static_sw=True)
         step_ns = M.make_single_step(consts, static_sw=False)
+    if sppt_grouped:
+        from ..physics.sppt import gen_sppt_n
 
     if phase is None:
         singles = [(M.make_single_step(consts), 1)]
@@ -129,19 +132,33 @@ def make_run_steps_batched(consts, mesh=None, shard_space: bool = True,
         tail_n = m - 3 * max(n_triples - 1, 0)
 
         dyn, static = split(state)
+        eph_names = M.EPHEMERAL_FIELDS
 
         def at(tree_ctx, i):
             return jax.tree.map(lambda a: a[i], tree_ctx)
 
         # -- prefix: consumes the incoming cache (still in the carry dict) --
+        # When the whole run fits inside the prefix (m == 0: 1-2 no-SW
+        # steps, reachable via 1-2-step SpeedyEns callback intervals), the
+        # LAST prefix step must surface the EPHEMERAL diagnostics — they
+        # were stripped from the input outside jit, so returning only the
+        # carry would leave members with stale precnv/flux values.
+        eph0 = {}
         for j in range(q):
             ctx_j = at(ctx, j)
+            if j == q - 1 and m == 0:
+                def one_pre(dd, c=ctx_j):
+                    st = step_ns({**static, **dd}, c)
+                    return ({k: st[k] for k in dd},
+                            {k: st[k] for k in eph_names if k in st})
 
-            def one_pre(dd, c=ctx_j):
-                st = step_ns({**static, **dd}, c)
-                return {k: st[k] for k in dd}
+                dyn, eph0 = jax.vmap(one_pre)(dyn)
+            else:
+                def one_pre(dd, c=ctx_j):
+                    st = step_ns({**static, **dd}, c)
+                    return {k: st[k] for k in dd}
 
-            dyn = jax.vmap(one_pre)(dyn)
+                dyn = jax.vmap(one_pre)(dyn)
 
         # -- aligned scan: cache stripped from the carry ------------------
         dyn_nc = {k: v for k, v in dyn.items() if k not in cache_names}
@@ -153,9 +170,15 @@ def make_run_steps_batched(consts, mesh=None, shard_space: bool = True,
             def body(d, ctx_t):
                 def one(dd):
                     st = {**static, **dd}
-                    st = step_sw(st, at(ctx_t, 0))
-                    st = step_ns(st, at(ctx_t, 1))
-                    st = step_ns(st, at(ctx_t, 2))
+                    if sppt_grouped:
+                        # One RNG draw + one batched pattern transform per
+                        # triple (launch-bound at small ensembles; sppt.py).
+                        pats, st = gen_sppt_n(consts, st, 3)
+                    for j, fn in enumerate((step_sw, step_ns, step_ns)):
+                        c = at(ctx_t, j)
+                        if sppt_grouped:
+                            c = {**c, "sppt_pattern": pats[j]}
+                        st = fn(st, c)
                     return {k: st[k] for k in dd}
 
                 return jax.vmap(one)(d), None
@@ -164,16 +187,21 @@ def make_run_steps_batched(consts, mesh=None, shard_space: bool = True,
 
         # -- tail -----------------------------------------------------------
         if tail_n == 0:
-            # No aligned step ran: the incoming cache passes through.
-            return {**static, **dyn}
+            # No aligned step ran (m == 0): the incoming cache passes
+            # through; the final prefix step's diagnostics come from eph0.
+            return {**static, **dyn, **eph0}
         ctx_tail = jax.tree.map(lambda a: a[n - tail_n:], ctx)
-        eph_names = M.EPHEMERAL_FIELDS
 
         def one_tail(dd):
             st = {**static, **dd}
+            if sppt_grouped:
+                pats, st = gen_sppt_n(consts, st, tail_n)
             for j in range(tail_n):
                 fn = step_sw if j % 3 == 0 else step_ns
-                st = fn(st, at(ctx_tail, j))
+                c = at(ctx_tail, j)
+                if sppt_grouped:
+                    c = {**c, "sppt_pattern": pats[j]}
+                st = fn(st, c)
             return ({k: st[k] for k in dd},
                     {k: st[k] for k in cache_names},
                     {k: st[k] for k in eph_names if k in st})

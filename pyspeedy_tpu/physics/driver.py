@@ -51,7 +51,8 @@ DIAG_FIELDS = ("cbmf", "precnv", "precls", "slrd", "slr", "olr",
 
 
 def grid_physics(consts, sw_flag, ug, vg, tg, qg, phig, pslg, bc, cache,
-                 ablco2, coa2d=None, phisg=None, m0corr=None):
+                 ablco2, coa2d=None, phisg=None, m0corr=None,
+                 sppt_pattern=None):
     """The full grid-space physics chain (physics.f90:107-232) on explicit
     arrays. Returns (utend, vtend, ttend, qtend, diag, new_cache) where the
     tendencies are the PHYSICS-ONLY contributions (added to the dynamics
@@ -209,6 +210,19 @@ def grid_physics(consts, sw_flag, ug, vg, tg, qg, phig, pslg, bc, cache,
             fl["ustr"], fl["vstr"], fl["shf"], fl["evap"], fl["slru"],
             hfluxn3, rad_flux, rad_st4a)
     new_cache = (tt_rsw, rad_tau2, rad_sc, tsr, ssrd, ssr, qcloud)
+    if sppt_pattern is not None:
+        # SPPT multiplies the PHYSICS-ONLY tendency by 1 + pattern
+        # (physics.f90:234-248: f*(tend - tend_dyn) + tend_dyn, and the
+        # outputs here ARE tend - tend_dyn). Applied in-body — i.e. inside
+        # the Pallas megakernel on the fast path — so it fuses with the
+        # chain and precedes the bf16 cast (an XLA-side f32 multiply after
+        # the kernel would re-promote the direct-transform operands).
+        # mu = 1: no vertical tapering (sppt.f90:20).
+        f = 1.0 + sppt_pattern
+        utend = f * utend
+        vtend = f * vtend
+        ttend = f * ttend
+        qtend = f * qtend
     if consts.bf16_tendencies:
         # Tendency-class outputs only (see Consts.bf16_tendencies);
         # diagnostics and the radiation cache stay full precision.
@@ -225,8 +239,6 @@ def get_physical_tendencies(consts, state, ctx, utend, vtend, ttend, trtend):
     (utend, vtend, ttend, trtend, state)."""
     sp = consts.sp
     params = consts.params
-
-    utend_dyn, vtend_dyn, ttend_dyn, qtend_dyn = utend, vtend, ttend, trtend[0]
 
     # --- prognostics to grid at time level 0 (physics.f90:89-101) ---
     from ..models.tendencies import _multi_spec2grid
@@ -271,6 +283,18 @@ def get_physical_tendencies(consts, state, ctx, utend, vtend, ttend, trtend):
     else:
         cache = tuple(state[name] for name in CACHE_FIELDS)
 
+    # SPPT pattern for this step (physics.f90:234-248): generated up front —
+    # it depends only on the AR(1) state — and applied to the physics-only
+    # tendencies INSIDE grid_physics (fused into the Pallas kernel). Scan
+    # bodies that group several steps precompute the group's patterns in one
+    # batched gen_sppt_n call (launch-bound at small ensembles) and inject
+    # them via ctx["sppt_pattern"]; the driver then skips generation.
+    sppt_pattern = None
+    if params.sppt_on:
+        sppt_pattern = ctx.get("sppt_pattern") if ctx else None
+        if sppt_pattern is None:
+            sppt_pattern, state = gen_sppt(consts, state)
+
     if use_pallas:
         from .pallas_physics import grid_physics_pallas
         phisg = m0corr = None
@@ -287,11 +311,12 @@ def get_physical_tendencies(consts, state, ctx, utend, vtend, ttend, trtend):
             phisg = state["phisg"]
         ut, vt, tt, qt, diag, new_cache = grid_physics_pallas(
             consts, sw_flag, ug, vg, tg, qg, phig, pslg, bc, cache,
-            state["air_absortivity_co2"], phisg=phisg, m0corr=m0corr)
+            state["air_absortivity_co2"], phisg=phisg, m0corr=m0corr,
+            sppt_pattern=sppt_pattern)
     else:
         ut, vt, tt, qt, diag, new_cache = grid_physics(
             consts, sw_flag, ug, vg, tg, qg, phig, pslg, bc, cache,
-            state["air_absortivity_co2"])
+            state["air_absortivity_co2"], sppt_pattern=sppt_pattern)
 
     state = dict(state)
     state.update(zip(DIAG_FIELDS, diag))
@@ -301,17 +326,6 @@ def get_physical_tendencies(consts, state, ctx, utend, vtend, ttend, trtend):
     vtend = vtend + vt
     ttend = ttend + tt
     qtend = trtend[0] + qt
-
-    # --- SPPT multiplicative noise on the physics increment
-    #     (physics.f90:234-248) ---
-    if params.sppt_on:
-        pattern, state = gen_sppt(consts, state)
-        mu = 1.0  # no vertical tapering (sppt.f90:20)
-        f = 1.0 + pattern * mu
-        utend = f * (utend - utend_dyn) + utend_dyn
-        vtend = f * (vtend - vtend_dyn) + vtend_dyn
-        ttend = f * (ttend - ttend_dyn) + ttend_dyn
-        qtend = f * (qtend - qtend_dyn) + qtend_dyn
 
     trtend = jnp.concatenate([qtend[None], trtend[1:]])
     return utend, vtend, ttend, trtend, state

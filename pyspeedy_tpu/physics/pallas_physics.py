@@ -29,14 +29,19 @@ __all__ = ["grid_physics_pallas"]
 
 def grid_physics_pallas(consts, sw_flag: bool, ug, vg, tg, qg, phig, pslg,
                         bc, cache, ablco2, tile: int | None = None,
-                        interpret: bool = False, phisg=None, m0corr=None):
+                        interpret: bool = False, phisg=None, m0corr=None,
+                        sppt_pattern=None):
     """Pallas-tiled execution of driver.grid_physics (same signature and
     return structure). sw_flag must be a Python bool (the phase-specialized
     scans provide one; traced-flag steps fall back to the XLA path).
 
     phig=None selects the in-kernel hydrostatic geopotential (see
     driver.grid_physics): phisg (il, ix) and m0corr (kx, il, 1) enter as
-    latitude-tiled operands instead of the full phig stack."""
+    latitude-tiled operands instead of the full phig stack.
+
+    sppt_pattern, when given, is the (kx, il, ix) SPPT multiplier field —
+    another latitude-tiled operand; the multiplicative application fuses
+    into the kernel epilogue ahead of the bf16 tendency cast."""
     from .driver import grid_physics
 
     params = consts.params
@@ -53,9 +58,11 @@ def grid_physics_pallas(consts, sw_flag: bool, ug, vg, tg, qg, phig, pslg,
 
     in_phi = (pslg,) if phig is None else (phig, pslg)
     extra = (phisg, m0corr) if phig is None else ()
+    sppt = () if sppt_pattern is None else (sppt_pattern,)
     n_head = 4 + len(in_phi)
+    n_tail = len(extra) + len(sppt) + 2
     args = ((ug, vg, tg, qg) + in_phi + tuple(bc) + tuple(cache)
-            + extra + (coa2d, ab2))
+            + extra + sppt + (coa2d, ab2))
 
     def body(*vals):
         ug_b, vg_b, tg_b, qg_b = vals[:4]
@@ -66,14 +73,17 @@ def grid_physics_pallas(consts, sw_flag: bool, ug, vg, tg, qg, phig, pslg,
             phig_b, pslg_b = vals[4:6]
         bc_b = tuple(vals[n_head:n_head + n_bc])
         cache_b = tuple(vals[n_head + n_bc:n_head + n_bc + n_cache])
+        tail = vals[len(vals) - n_tail:]
         if phig is None:
-            phisg_b, m0_b = vals[-4:-2]
+            phisg_b, m0_b = tail[0], tail[1]
         else:
             phisg_b = m0_b = None
-        coa_b = vals[-2]
-        ab_b = vals[-1][0, 0]
+        sppt_b = tail[len(extra)] if sppt else None
+        coa_b = tail[-2]
+        ab_b = tail[-1][0, 0]
         return grid_physics(consts, sw_flag, ug_b, vg_b, tg_b, qg_b,
                             phig_b, pslg_b, bc_b, cache_b, ab_b,
-                            coa2d=coa_b, phisg=phisg_b, m0corr=m0_b)
+                            coa2d=coa_b, phisg=phisg_b, m0corr=m0_b,
+                            sppt_pattern=sppt_b)
 
     return tiled_columnwise(body, args, il, tile=tile, interpret=interpret)

@@ -5,38 +5,64 @@ Deliberate divergences from the reference, which are documented bugs there
 the model state (the reference loses it to a local variable, sppt.f90:48-51),
 and the RNG is a keyed, reproducible jax.random stream per member instead of
 a wall-clock-seeded global generator (sppt.f90:132-145).
+
+Performance (round 5): at small ensembles the step is launch-bound, so the
+per-step pattern generation is kept to a handful of fused HLOs — the
+wavenumber amplitude sigma and the AR(1) coefficients are HOST numpy
+constants (built once in build_sppt_tables, folded by XLA), and both
+clipped-normal planes come from ONE jax.random.normal call. The
+multiplicative application itself lives INSIDE physics/driver.grid_physics
+(before the bf16 tendency cast), so on the Pallas path it fuses into the
+megakernel and the bf16-operand direct transforms are preserved.
 """
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .. import constants as pc
-from ..ops import spectral as S
 
-__all__ = ["gen_sppt", "init_sppt_state"]
+__all__ = ["gen_sppt", "init_sppt_state", "build_sppt_tables", "SpptTables"]
 
 TIME_DECORR = 6.0       # decorrelation time [h]
 LEN_DECORR = 500000.0   # correlation length [m]
 STDDEV = 0.33           # grid-space standard deviation
 
 
-def _phi(params):
-    return jnp.exp(-(24.0 / params.nsteps) / TIME_DECORR)
+class SpptTables(NamedTuple):
+    """Host-side AR(1) constants (folded into the compiled step)."""
+
+    sigma: np.ndarray   # (1, 1, mx, nx) wavenumber amplitude (sppt.f90:84-92)
+    phi: float          # AR(1) coefficient exp(-dt/tau)
+    stat: float         # stationary-variance factor (1-phi^2)^(-1/2)
 
 
-def _sigma(params, sp):
-    """Wavenumber-dependent amplitude (sppt.f90:84-92)."""
-    n = jnp.arange(1, params.trunc + 1, dtype=sp.el2.dtype)
-    f0 = jnp.sum((2 * n + 1) * jnp.exp(
+def _phi_val(params) -> float:
+    return float(np.exp(-(24.0 / params.nsteps) / TIME_DECORR))
+
+
+def build_sppt_tables(params, el2_np: np.ndarray) -> SpptTables:
+    """Wavenumber-dependent amplitude + AR(1) coefficients (sppt.f90:30-92)
+    as numpy constants; el2_np is the host copy of the Laplacian-eigenvalue
+    table (l(l+1)/a^2, shape (mx, nx))."""
+    phi = _phi_val(params)
+    n = np.arange(1, params.trunc + 1, dtype=np.float64)
+    f0 = np.sum((2 * n + 1) * np.exp(
         -0.5 * (LEN_DECORR / pc.REARTH) ** 2 * n * (n + 1)))
-    f0 = jnp.sqrt((STDDEV**2 * (1 - _phi(params) ** 2)) / (2 * f0))
-    return f0 * jnp.exp(-0.25 * LEN_DECORR**2 * sp.el2)
+    f0 = np.sqrt((STDDEV**2 * (1 - phi**2)) / (2 * f0))
+    sigma = f0 * np.exp(-0.25 * LEN_DECORR**2 * np.asarray(el2_np, np.float64))
+    rdt = np.float64 if params.precision == "f64" else np.float32
+    return SpptTables(sigma=sigma[None, None].astype(rdt), phi=phi,
+                      stat=float((1 - phi**2) ** (-0.5)))
 
 
 def init_sppt_state(params, key):
-    """Initial AR(1) state: stationary-variance draw (sppt.f90:92).
+    """Initial AR(1) state: zeros plus a first-step flag (the first gen_sppt
+    call replaces the zeros with a stationary-variance draw, sppt.f90:92).
     sppt_spec is a real pair (2, kx, mx, nx) — see ops/spectral.py."""
     return {
         "sppt_spec": jnp.zeros((2, params.kx, params.mx, params.nx),
@@ -46,38 +72,51 @@ def init_sppt_state(params, key):
     }
 
 
-def _clipped_normal(key, shape, dtype, clip):
-    x = jax.random.normal(key, shape, dtype=dtype)
-    return jnp.clip(x, -clip, clip)
+def gen_sppt_n(consts, state, n: int):
+    """Advance the AR(1) spectral pattern n steps and return the n grid-space
+    multiplicative fields, clipped to +-1 (sppt.f90:40-111).
+
+    The n per-step patterns of one scan group (the phase-specialized step
+    triples) come from ONE fused RNG draw and ONE batched inverse transform:
+    at small ensembles the step is launch-bound, so per-step pattern
+    generation (a handful of tiny kernels per step) costs ~3x what the same
+    work costs batched per triple. The AR(1) recursion is applied exactly —
+    spec_j = phi * spec_{j-1} + sigma * eta_j — so the statistics are
+    identical to n sequential single-step updates."""
+    from ..ops import spectral as S
+
+    params = consts.params
+    tables = consts.sppt
+    shape = (n, 2, params.kx, params.mx, params.nx)
+
+    key, k1 = jax.random.split(state["sppt_key"])
+    # Complex white noise as real pairs (re, im): same per-plane draws as
+    # the complex formulation, one fused RNG call for all planes and steps.
+    eta = jnp.clip(jax.random.normal(k1, shape, dtype=params.dtype),
+                   -10.0, 10.0)
+    se = tables.sigma * eta
+
+    spec = state["sppt_spec"]
+    specs = []
+    for j in range(n):
+        upd = tables.phi * spec + se[j]
+        if j == 0:
+            # First call ever: stationary-variance draw (sppt.f90:92).
+            upd = jnp.where(state["sppt_first"], tables.stat * se[0], upd)
+        spec = upd
+        specs.append(spec)
+
+    stacked = jnp.stack(specs, axis=1)  # (2, n, kx, mx, nx)
+    patterns = jnp.clip(S.spec2grid_p(consts.sp, stacked, 1), -1.0, 1.0)
+
+    state = dict(state)
+    state["sppt_spec"] = spec
+    state["sppt_key"] = key
+    state["sppt_first"] = jnp.array(False)
+    return patterns, state  # (n, kx, il, ix)
 
 
 def gen_sppt(consts, state):
-    """Advance the AR(1) spectral pattern and return the grid-space
-    multiplicative field, clipped to +-1 (sppt.f90:40-111)."""
-    params = consts.params
-    sp = consts.sp
-    shape = (params.kx, params.mx, params.nx)
-
-    key, k1, k2 = jax.random.split(state["sppt_key"], 3)
-    rdt = params.dtype
-    # Complex white noise as a real pair (re, im): same draws as the complex
-    # formulation, no complex dtype in the traced graph.
-    eta = jnp.stack([_clipped_normal(k1, shape, rdt, 10.0),
-                     _clipped_normal(k2, shape, rdt, 10.0)])
-
-    phi = _phi(params)
-    sigma = _sigma(params, sp)
-
-    first = state["sppt_first"]
-    fresh = (1 - phi**2) ** (-0.5) * sigma * eta
-    ar1 = phi * state["sppt_spec"] + sigma * eta
-    sppt_spec = jnp.where(first, fresh, ar1)
-
-    pattern = S.spec2grid_p(sp, sppt_spec, 1)
-    pattern = jnp.clip(pattern, -1.0, 1.0)
-
-    state = dict(state)
-    state["sppt_spec"] = sppt_spec
-    state["sppt_key"] = key
-    state["sppt_first"] = jnp.array(False)
-    return pattern, state
+    """Single-step gen_sppt_n (traced-flag step paths)."""
+    patterns, state = gen_sppt_n(consts, state, 1)
+    return patterns[0], state

@@ -34,8 +34,11 @@ __all__ = ["Speedy", "SpeedyEns", "MODEL_STATE_DEF"]
 
 # Checkpoint (.npz) format version: bump when the stored layout of any state
 # field changes (v2: 'tr' stored as (t_levs, ntr, kx, mx, nx); v3: spectral
-# fields stored as real (2, ...) pairs instead of complex — ops/spectral.py).
-_CHECKPOINT_VERSION = 3
+# fields stored as real (2, ...) pairs instead of complex — ops/spectral.py;
+# v4: the cal metadata grew a 7th element, the sub-minute seconds counter —
+# v3 checkpoints still load, their seconds default to 0).
+_CHECKPOINT_VERSION = 4
+_CHECKPOINT_LOADABLE = (3, 4)
 
 # Exported for API parity with pyspeedy.speedy.MODEL_STATE_DEF
 MODEL_STATE_DEF = {
@@ -373,12 +376,13 @@ class Speedy:
         with np.load(path, allow_pickle=False) as data:
             meta = ast.literal_eval(str(data["__meta__"][0]))
             version = meta.get("format_version", 1)
-            if version != _CHECKPOINT_VERSION:
+            if version not in _CHECKPOINT_LOADABLE:
                 raise RuntimeError(
                     f"Checkpoint format version {version} is not supported "
-                    f"(current: {_CHECKPOINT_VERSION}). Version 1 "
-                    "checkpoints stored 'tr' with a different axis order; "
-                    "regenerate the checkpoint with this version.")
+                    f"(current: {_CHECKPOINT_VERSION}, loadable: "
+                    f"{_CHECKPOINT_LOADABLE}). Versions 1-2 stored spectral "
+                    "fields in older layouts; regenerate the checkpoint "
+                    "with this version.")
             for k in self._state:
                 if k in data.files:
                     cur = self._state[k]

@@ -130,3 +130,27 @@ def test_sea_domains():
     assert tropic[0].sum() == 0 and tropic[24].sum() == 96
     with pytest.raises(ValueError):
         sea_domain("nowhere", deglat, 96)
+
+
+def test_registry_artifact_in_sync():
+    """pyspeedy_tpu/data/model_state.json (parity with the reference's
+    export_model_state_json artifact, model_state_def.py:527-560) must load
+    and exactly match the live registry — regenerate with
+    tools/export_registry.py after any registry change."""
+    import json
+    import os
+    import sys
+
+    import pyspeedy_tpu
+
+    path = os.path.join(pyspeedy_tpu.PACKAGE_DATA_DIR, "model_state.json")
+    assert os.path.exists(path), path
+    with open(path) as f:
+        shipped = json.load(f)
+
+    sys.path.insert(0, os.path.join(os.path.dirname(pyspeedy_tpu.__file__),
+                                    os.pardir, "tools"))
+    from export_registry import registry_json
+
+    assert shipped == registry_json(), \
+        "model_state.json is stale: run tools/export_registry.py"

@@ -298,29 +298,40 @@ def test_bf16_tendencies_bounded_divergence():
     """consts.bf16_tendencies rounds each per-step tendency to bfloat16
     (~2^-9 relative on increments): short-horizon trajectories must stay
     finite, diagnostics-clean, and within increment-rounding distance of
-    the f32 path. (On CPU the XLA convert ops are honored, so this
-    exercises the real rounding; the TPU fast path is climate-validated in
-    BENCH_NOTES round 4.)"""
+    the f32 path — and must actually DIVERGE from it (a zero delta means
+    the flag is dead code, the round-4 advisor finding: make_run_steps
+    strips the flag, so this drives make_run_steps_batched, which keeps
+    consts flags, mirroring tools/tpu_smoke.py's bf16_tendency_gate). On
+    CPU the XLA convert ops are honored; the TPU fast path is
+    climate-validated in BENCH_NOTES round 4."""
     import dataclasses
 
     import numpy as np
 
     from pyspeedy_tpu.models import model as M
+    from pyspeedy_tpu.parallel.ensemble import (broadcast_state,
+                                                make_run_steps_batched)
     from pyspeedy_tpu.params import T30L8
     from pyspeedy_tpu.testing import make_demo_model
 
     params = dataclasses.replace(T30L8, precision="f32", fft_mode="matmul")
     consts, state, cal = make_demo_model(params)
     ctx, _ = M.build_step_ctx(cal, 2, 6)
-    out_a = M.make_run_steps(consts, phase=2)(dict(state), ctx)
+    bstate = broadcast_state(state, 1)
+    out_a = make_run_steps_batched(consts, phase=2)(dict(bstate), ctx)
     c_b = dataclasses.replace(consts, bf16_tendencies=True)
-    out_b = M.make_run_steps(c_b, phase=2)(dict(state), ctx)
-    assert not bool(out_b["error_flag"])
+    out_b = make_run_steps_batched(c_b, phase=2)(dict(bstate), ctx)
+    assert not bool(np.asarray(out_b["error_flag"]).any())
+    max_rel = 0.0
     for name, bound in (("t", 1e-3), ("ps", 1e-3), ("vor", 5e-2),
                         ("div", 5e-2)):
-        a = np.asarray(out_a[name][0])
-        b = np.asarray(out_b[name][0])
+        a = np.asarray(out_a[name][0][0])
+        b = np.asarray(out_b[name][0][0])
         assert np.isfinite(b).all(), name
         scale = np.abs(a).max() or 1.0
         rel = np.abs(a - b).max() / scale
         assert rel < bound, (name, rel)
+        max_rel = max(max_rel, rel)
+    # The bf16 path must be exercised: identical trajectories mean the
+    # rounding never happened.
+    assert max_rel > 1e-8, "bf16_tendencies had no effect (dead flag?)"

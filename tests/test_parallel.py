@@ -218,3 +218,60 @@ def test_sharded_physics_off_ephemeral_layout():
         np.testing.assert_allclose(
             np.asarray(out[name]), np.asarray(ref[name]),
             rtol=0, atol=1e-10, err_msg=name)
+
+
+@pytest.mark.parametrize("phase,n_steps", [(2, 1), (1, 2), (2, 4)])
+def test_short_aligned_runs_surface_ephemerals(phase, n_steps):
+    """Physics-on batched runs of 1-2 steps starting at an SW-unaligned
+    phase run entirely inside run_aligned's prefix (m == 0). The EPHEMERAL
+    diagnostics are stripped from the input outside jit, so the last prefix
+    step must return them member-batched — otherwise SpeedyEns members
+    silently keep stale precnv/flux values (round-4 advisor finding).
+    Reachable via SpeedyEns.run callbacks with 1-2-step intervals.
+    The (2, 4) case covers m > 0 with a prefix (tail path, regression
+    guard)."""
+    consts, state, cal = demo()
+
+    # Single-member reference for the same steps (traced-SW path).
+    run1 = M.make_run_steps(consts)
+    ctx, _ = M.build_step_ctx(dataclasses.replace(cal), phase, n_steps)
+    ref = run1(dict(state), ctx)
+
+    batched = broadcast_state(state, 2)
+    run = make_run_steps_batched(consts, donate=False, phase=phase)
+    ctx2, _ = M.build_step_ctx(dataclasses.replace(cal), phase, n_steps)
+    out = run(batched, ctx2)
+
+    for name in ("precnv", "hfluxn", "shf", "slr"):
+        assert name in out, f"{name} missing from batched output"
+        got = np.asarray(out[name])
+        assert got.shape == (2,) + np.asarray(ref[name]).shape, name
+        for m in range(2):
+            # atol 1e-9 on O(100) W/m^2 fields: vmap GEMM reassociation
+            # costs ~1e-13 absolute; stale values would differ by O(1).
+            np.testing.assert_allclose(
+                got[m], np.asarray(ref[name]), rtol=0, atol=1e-9,
+                err_msg=f"{name} member {m}")
+
+
+def test_sppt_batched_aligned_runs():
+    """SPPT on the phase-specialized batched path: patterns are precomputed
+    per scan triple (gen_sppt_n) — members must diverge, the AR(1) state
+    must advance, and the pattern magnitude must respect the +-1 clip
+    (checked indirectly: diagnostics stay clean)."""
+    params = dataclasses.replace(PARAMS, sppt_on=True)
+    from pyspeedy_tpu.testing import make_demo_model as mk
+    consts, state, cal = mk(params)
+    spec0 = np.asarray(state["sppt_spec"])
+
+    batched = broadcast_state(state, 2)
+    run = make_run_steps_batched(consts, donate=False, phase=2)
+    ctx, _ = M.build_step_ctx(dataclasses.replace(cal), 2, 7)
+    out = run(batched, ctx)
+
+    assert not bool(np.asarray(out["error_flag"]).any())
+    t0 = np.asarray(out["t"][0])
+    assert np.abs(t0[0] - t0[1]).max() > 1e-10, "members must diverge"
+    spec = np.asarray(out["sppt_spec"])
+    assert spec.shape[0] == 2 and np.abs(spec).max() > 0
+    assert not np.allclose(spec[0], spec0), "AR(1) state must advance"

@@ -140,12 +140,17 @@ def test_ens_speedy():
     with tempfile.TemporaryDirectory() as tmp_work_dir:
         model_ens.run(callbacks=[XarrayExporter(output_dir=tmp_work_dir)])
 
-        model_ens_ds = open_dataset(os.path.join(tmp_work_dir, file_name))
         for m, member in enumerate(model_ens):
             member_df = member.to_dataframe().squeeze(dim="ens", drop=True)
             assert_ds_allclose(member_df, reference_ds, rtol=1e-6)
+        # XarrayExporter writes each member under a member### subdirectory
+        # (the reference's documented contract, callbacks.py:190-192).
         for m in range(num_of_members):
-            member_ds = model_ens_ds.sel(ens=m)
+            member_path = os.path.join(tmp_work_dir, f"member{m:03d}",
+                                       file_name)
+            assert os.path.exists(member_path), member_path
+            member_ds = open_dataset(member_path).squeeze(dim="ens",
+                                                          drop=True)
             assert_ds_allclose(member_ds, reference_ds, rtol=1e-6)
 
 

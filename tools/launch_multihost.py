@@ -76,6 +76,25 @@ def main_worker():
                           float(np.abs(local[mloc] - ref_piece).max()))
     ok = bool(max_err < 1e-10) and not bool(
         local_value(out["error_flag"]).any())
+
+    # SPPT across processes (round-5): per-member keys are folded host-side
+    # by make_global_ensemble; with stochastic physics on, the two members
+    # of this process's ensemble shard must DIVERGE from each other.
+    params_sppt = dataclasses.replace(params, sppt_on=True)
+    consts_sppt, state_sppt, cal_sppt = make_demo_model(params_sppt)
+    gstate_sppt = D.make_global_ensemble(state_sppt, n_members, mesh)
+    ctx_s, _ = M.build_step_ctx(dataclasses.replace(cal_sppt), 2, N_STEPS)
+    run_sppt = make_run_steps_batched(consts_sppt, mesh=mesh, donate=False,
+                                      phase=2)
+    out_sppt = run_sppt(gstate_sppt, ctx_s)
+    jax.block_until_ready(out_sppt)
+    shard0 = np.asarray(out_sppt["t"][0].addressable_shards[0].data)
+    sppt_member_spread = float(np.abs(shard0[0] - shard0[1]).max()) \
+        if shard0.shape[0] >= 2 else -1.0
+    sppt_ok = (sppt_member_spread > 1e-10 and not bool(
+        local_value(out_sppt["error_flag"]).any()))
+    ok = ok and sppt_ok
+
     print(json.dumps({
         "process": jax.process_index(),
         "processes": jax.process_count(),
@@ -83,6 +102,8 @@ def main_worker():
         "mesh": dict(mesh.shape),
         "members": n_members,
         "max_abs_err_vs_single": max_err,
+        "sppt_member_spread": sppt_member_spread,
+        "sppt_ok": sppt_ok,
         "ok": ok,
     }), flush=True)
     if not ok:
