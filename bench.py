@@ -36,6 +36,9 @@ REFERENCE_SYPD_ESTIMATE = 100.0  # SPEEDY single-core SYPD anchor (BASELINE.md)
 # Measured sustained HBM bandwidth on this chip (BENCH_NOTES.md round 2):
 # elementwise read+write saturates ~328 GB/s (NOT the v5e datasheet number).
 MEASURED_HBM_GBS = 328.0
+# Measured bf16 matmul peak on this chip (BENCH_NOTES.md round 2): ~94
+# TFLOP/s — the MFU denominator (NOT the v5e datasheet number).
+MEASURED_PEAK_GFLOPS = 94000.0
 
 
 def _sypd(n_steps, wall_s, nsteps_per_day=36):
@@ -109,7 +112,14 @@ def bench_ensemble(params, consts, M, make_demo_model, n_members,
                    n_repeats=3, days_per_repeat=2):
     """Median member-steps/s for an n_members batched ensemble (chunked
     along the member axis past the measured knee, like SpeedyEns), plus the
-    achieved HBM GB/s from XLA cost analysis of the batched executable."""
+    achieved HBM GB/s from XLA cost analysis of the batched executable.
+
+    Each timing window is ONE dispatched scan of days_per_repeat days per
+    chunk (per-day dispatches through the tunnel cost ~20% at small batches
+    — the single-member finding, applied here in round 5), and one
+    post-compile window is discarded: the first execution of a fresh
+    executable is consistently cold through the tunnel (BENCH_r04's 16-member
+    windows spanned 20% because it was counted)."""
     from pyspeedy_tpu.parallel.ensemble import (broadcast_state,
                                                 make_run_steps_batched,
                                                 pick_member_chunk)
@@ -120,41 +130,75 @@ def bench_ensemble(params, consts, M, make_demo_model, n_members,
               for _ in range(n_members // chunk)]
     run = make_run_steps_batched(consts, phase=2, donate=False)
 
-    ctx, cal = M.build_step_ctx(cal, 2, n_day)
-    chunks = [run(b, ctx) for b in chunks]
-    jax.block_until_ready(chunks)  # compile + warm-up
+    n_win = days_per_repeat * n_day
+    stepno = 2
+
+    def one_window(chunks, stepno, cal):
+        ctx, cal = M.build_step_ctx(cal, stepno, n_win)
+        return [run(b, ctx) for b in chunks], stepno + n_win, cal, ctx
+
+    chunks, stepno, cal, ctx = one_window(chunks, stepno, cal)  # compile
+    jax.block_until_ready(chunks)
+    chunks, stepno, cal, ctx = one_window(chunks, stepno, cal)  # warm-up
+    jax.block_until_ready(chunks)
 
     rates = []
-    stepno = 2 + n_day
     for r in range(n_repeats):
         t0 = time.perf_counter()
-        for d in range(days_per_repeat):
-            ctx, cal = M.build_step_ctx(cal, stepno, n_day)
-            chunks = [run(b, ctx) for b in chunks]
-            stepno += n_day
+        chunks, stepno, cal, ctx = one_window(chunks, stepno, cal)
         jax.block_until_ready(chunks)
         wall = time.perf_counter() - t0
-        rates.append(n_members * days_per_repeat * n_day / wall)
+        rates.append(n_members * n_win / wall)
 
     msps = statistics.median(rates)
-    hbm_gbs = None
+    hbm_gbs = gflops_s = dev_s_per_mstep = None
     try:
         # Post-hoc lower+compile hits the persistent compilation cache.
-        # cost_analysis counts the scan body once; this executable is
-        # scan(triples) + one final triple outside the scan = 6 steps of a
-        # chunk-wide batch counted. bytes are LOGICAL operand traffic.
+        # cost_analysis counts the scan body once; the aligned executable is
+        # q prefix steps + scan(triples, body=3 steps counted once) +
+        # tail_n steps outside the scan. bytes are LOGICAL operand traffic.
         ca = run.lower(chunks[0], ctx).compile().cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
+        q = min((3 - 2) % 3, n_win)
+        m = n_win - q
+        n_triples = m // 3
+        tail_n = m - 3 * max(n_triples - 1, 0)
+        counted = (q + (3 if n_triples > 1 else 0) + tail_n) * chunk
         if ca and ca.get("bytes accessed"):
-            counted = 6 * chunk  # member-steps covered by the analysis
             hbm_gbs = (float(ca["bytes accessed"]) / counted * msps / 1e9)
+        if ca and ca.get("flops"):
+            # Real model FLOPs executed at the measured rate (the flop count
+            # is the work, not an operand-traffic proxy).
+            gflops_s = float(ca["flops"]) / counted * msps / 1e9
     except Exception:
         pass
+
+    # Hardware-counter honesty (round 5): measured DEVICE op time per
+    # member-step from a jax.profiler trace of one window (in-flight op
+    # durations overlap, so this bounds — not equals — wall time; the wall
+    # msps above is the throughput truth).
+    try:
+        import tempfile
+
+        from pyspeedy_tpu.utils.xplane import device_op_totals
+        with tempfile.TemporaryDirectory() as td:
+            jax.profiler.start_trace(td)
+            chunks, stepno, cal, _ = one_window(chunks, stepno, cal)
+            jax.block_until_ready(chunks)
+            jax.profiler.stop_trace()
+            dev_total = sum(device_op_totals(td).values())
+        dev_s_per_mstep = dev_total / (n_members * n_win)
+    except Exception as e:  # noqa: BLE001 - accounting is best-effort
+        _log(f"bench: ensemble trace unavailable: {e}")
+
     _log(f"bench: ensemble {n_members} (chunks of {chunk}): "
          f"{[round(r) for r in rates]} member-steps/s -> median {msps:.0f}"
-         + (f", {hbm_gbs:.0f} GB/s logical" if hbm_gbs else ""))
-    return msps, hbm_gbs
+         + (f", {hbm_gbs:.0f} GB/s logical" if hbm_gbs else "")
+         + (f", {gflops_s:.0f} GFLOP/s achieved" if gflops_s else "")
+         + (f", {dev_s_per_mstep*1e6:.0f} us device/member-step"
+            if dev_s_per_mstep else ""))
+    return msps, hbm_gbs, gflops_s, dev_s_per_mstep
 
 
 def main():
@@ -197,13 +241,23 @@ def main():
     sizes = (64, 256, 1024) if backend == "tpu" else (8,)
     for n_members in sizes:
         try:
-            msps, e_hbm = bench_ensemble(params, consts, M, make_demo_model,
-                                         n_members)
+            msps, e_hbm, e_gfl, e_dev = bench_ensemble(
+                params, consts, M, make_demo_model, n_members)
             out[f"ensemble_msps_{n_members}"] = round(msps)
             if e_hbm is not None:
                 out[f"ensemble_logical_gbs_{n_members}"] = round(e_hbm, 1)
                 out[f"ensemble_hbm_frac_upper_{n_members}"] = round(
                     e_hbm / MEASURED_HBM_GBS, 3)
+            if e_gfl is not None:
+                out[f"ensemble_achieved_gflops_{n_members}"] = round(e_gfl, 1)
+                # MFU vs the MEASURED 94 TFLOP/s bf16 matmul peak of this
+                # chip (BENCH_NOTES round 2) — small at T30 by design: the
+                # model is tiny and memory/launch-bound, not MXU-bound.
+                out[f"ensemble_mfu_{n_members}"] = round(
+                    e_gfl / MEASURED_PEAK_GFLOPS, 4)
+            if e_dev is not None:
+                out[f"ensemble_device_us_per_mstep_{n_members}"] = round(
+                    e_dev * 1e6, 1)
         except Exception as e:  # noqa: BLE001 - diagnostic metrics
             _log(f"bench: ensemble {n_members} failed: {e}")
 
@@ -216,20 +270,20 @@ def main():
         consts_sppt, _ = M.build_consts_cached(params_sppt)
         # Small batches are launch-bound and window-to-window noisy through
         # the tunnel: use more, longer windows than the big-ensemble runs.
-        msps_off, _ = bench_ensemble(params, consts, M, make_demo_model,
-                                     n_sppt, n_repeats=5, days_per_repeat=4)
-        msps_sppt, _ = bench_ensemble(params_sppt, consts_sppt, M,
-                                      make_demo_model, n_sppt, n_repeats=5,
-                                      days_per_repeat=4)
+        msps_off, *_ = bench_ensemble(params, consts, M, make_demo_model,
+                                      n_sppt, n_repeats=5, days_per_repeat=4)
+        msps_sppt, *_ = bench_ensemble(params_sppt, consts_sppt, M,
+                                       make_demo_model, n_sppt, n_repeats=5,
+                                       days_per_repeat=4)
         if msps_sppt > 1.5 * msps_off:
             # Observed once: the tunneled backend returned absurd
             # (hundreds-of-k msps) timings for a freshly compiled
             # executable; a re-measure was sane. Guard the metric.
             _log("bench: sppt timing implausible "
                  f"({msps_sppt:.0f} vs {msps_off:.0f} det); re-measuring")
-            msps_sppt, _ = bench_ensemble(params_sppt, consts_sppt, M,
-                                          make_demo_model, n_sppt,
-                                          n_repeats=5, days_per_repeat=4)
+            msps_sppt, *_ = bench_ensemble(params_sppt, consts_sppt, M,
+                                           make_demo_model, n_sppt,
+                                           n_repeats=5, days_per_repeat=4)
         out[f"ensemble_msps_{n_sppt}_sppt"] = round(msps_sppt)
         out["sppt_overhead_pct"] = round(100.0 * (msps_off / msps_sppt - 1),
                                          1)
@@ -256,9 +310,9 @@ def main():
         except Exception as e:  # noqa: BLE001
             _log(f"bench: T63 single failed: {e}")
         try:
-            msps63, _ = bench_ensemble(params63, consts63, M,
-                                       make_demo_model, 64, n_repeats=2,
-                                       days_per_repeat=1)
+            msps63, *_ = bench_ensemble(params63, consts63, M,
+                                        make_demo_model, 64, n_repeats=2,
+                                        days_per_repeat=1)
             out["t63_ensemble_msps_64"] = round(msps63)
         except Exception as e:  # noqa: BLE001
             _log(f"bench: T63 ensemble failed: {e}")
@@ -268,9 +322,9 @@ def main():
             params47 = dataclasses.replace(T47L8, precision="f32",
                                            fft_mode="matmul")
             consts47, _ = M.build_consts_cached(params47)
-            msps47, _ = bench_ensemble(params47, consts47, M,
-                                       make_demo_model, 64, n_repeats=2,
-                                       days_per_repeat=1)
+            msps47, *_ = bench_ensemble(params47, consts47, M,
+                                        make_demo_model, 64, n_repeats=2,
+                                        days_per_repeat=1)
             out["t47_ensemble_msps_64"] = round(msps47)
         except Exception as e:  # noqa: BLE001
             _log(f"bench: T47 ensemble failed: {e}")

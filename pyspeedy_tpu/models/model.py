@@ -239,9 +239,13 @@ DYNAMIC_FIELDS = frozenset({
     "soil_avail_water", "stl_lm", "sstcl_ob", "sicecl_ob", "ticecl_ob",
     "sstan_ob", "sstan_am", "sst_am", "sice_am", "tice_am", "sst_om",
     "sice_om", "tice_om", "ssti_om",
-    # runtime flags / stochastic physics
+    # runtime flags / stochastic physics. NB sppt_key is carried but NEVER
+    # rewritten (counter-based noise keying, physics/sppt.py): XLA's
+    # while-loop simplifier hoists the unchanged carry, so it costs nothing
+    # per iteration — unlike the round-4 split-chain, whose key rewrite plus
+    # first-step flag measurably dominated the SPPT ensemble overhead.
     "error_flag", "compute_shortwave",
-    "sppt_spec", "sppt_key", "sppt_first",
+    "sppt_spec", "sppt_key",
 })
 
 
@@ -322,17 +326,19 @@ def _make_device_init(consts: Consts, geom_np: Geometry):
     # First-step bootstrap: dt/2, dt (time_stepping.f90:13-27). The
     # reference's compute_shortwave flag defaults to .true.
     # (model_state.f90:780), so both bootstrap steps run shortwave.
-    ctx_true = {"compute_shortwave": True}  # static: bootstrap always runs SW
-
+    # stepno feeds the counter-based SPPT noise keying (physics/sppt.py);
+    # the regular run starts at current_step=2.
     @jax.jit
     def _boot_half(st):
         return step(consts.with_implicit(im_half), st, 1, 1,
-                    0.5 * params.delt, pf, ctx_true)
+                    0.5 * params.delt, pf,
+                    {"compute_shortwave": True, "stepno": 0})
 
     @jax.jit
     def _boot_full(st):
         return step(consts.with_implicit(im_full), st, 1, 2,
-                    params.delt, pf, ctx_true)
+                    params.delt, pf,
+                    {"compute_shortwave": True, "stepno": 1})
 
     def _device_init(st, cs):
         st, bad0 = _init_fields(st, cs)
@@ -384,6 +390,13 @@ def initialize(consts: Consts, state: dict, host_bc: dict,
         "year_frac": jnp.asarray(cal.year + cal.tyear, dtype=params.dtype),
         "tyear": jnp.asarray(cal.tyear, dtype=params.dtype),
     }
+    # Stationary-variance SPPT initialization (sppt.f90:92) before the
+    # bootstrap steps advance the AR(1) state — eliminates the first-step
+    # flag from the scan carry entirely (see physics/sppt.py).
+    if params.sppt_on:
+        state["sppt_spec"] = sppt_mod.stationary_draw(consts,
+                                                      state["sppt_key"])
+
     state, bad0 = device_init(state, cal_scalars)
     if bool(bad0):
         raise SpeedyError("Initial state failed the diagnostics check")
@@ -432,6 +445,11 @@ def build_step_ctx(cal: ModelCalendar, current_step: int, n_steps: int):
         "imont1": jnp.asarray(imont1),
         "tmonth": jnp.asarray(tmonth),
         "month_idx": jnp.asarray(month_idx),
+        # Absolute step index: keys the counter-based SPPT noise
+        # (physics/sppt.py) — restart- and window-boundary-invariant.
+        "stepno": jnp.asarray(
+            np.arange(current_step, current_step + n_steps,
+                      dtype=np.int32)),
     }
     return ctx, cal
 
@@ -465,6 +483,8 @@ def make_single_step(consts: Consts, static_sw=None):
         sw = ctx_i["compute_shortwave"] if static_sw is None else static_sw
         state["compute_shortwave"] = jnp.asarray(sw)
         pctx = {"compute_shortwave": sw}
+        if "stepno" in ctx_i:
+            pctx["stepno"] = ctx_i["stepno"]
         if "sppt_pattern" in ctx_i:
             # Group-precomputed SPPT pattern (see physics/driver.py).
             pctx["sppt_pattern"] = ctx_i["sppt_pattern"]
@@ -534,7 +554,8 @@ def make_run_steps(consts: Consts, phase: int | None = None):
             if sppt_grouped:
                 # One fused RNG draw + one batched inverse transform per
                 # triple (the per-step form is launch-bound; see sppt.py).
-                pats, st = sppt_mod.gen_sppt_n(consts, st, 3)
+                pats, st = sppt_mod.gen_sppt_n(consts, st, 3,
+                                               ctx_t["stepno"][0])
             for j, fn in enumerate(steps3):
                 ctx_j = {k: v[j] for k, v in ctx_t.items()}
                 if sppt_grouped:

@@ -173,7 +173,8 @@ def make_run_steps_batched(consts, mesh=None, shard_space: bool = True,
                     if sppt_grouped:
                         # One RNG draw + one batched pattern transform per
                         # triple (launch-bound at small ensembles; sppt.py).
-                        pats, st = gen_sppt_n(consts, st, 3)
+                        pats, st = gen_sppt_n(consts, st, 3,
+                                              ctx_t["stepno"][0])
                     for j, fn in enumerate((step_sw, step_ns, step_ns)):
                         c = at(ctx_t, j)
                         if sppt_grouped:
@@ -195,7 +196,8 @@ def make_run_steps_batched(consts, mesh=None, shard_space: bool = True,
         def one_tail(dd):
             st = {**static, **dd}
             if sppt_grouped:
-                pats, st = gen_sppt_n(consts, st, tail_n)
+                pats, st = gen_sppt_n(consts, st, tail_n,
+                                      ctx_tail["stepno"][0])
             for j in range(tail_n):
                 fn = step_sw if j % 3 == 0 else step_ns
                 c = at(ctx_tail, j)

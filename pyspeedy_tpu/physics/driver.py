@@ -293,7 +293,7 @@ def get_physical_tendencies(consts, state, ctx, utend, vtend, ttend, trtend):
     if params.sppt_on:
         sppt_pattern = ctx.get("sppt_pattern") if ctx else None
         if sppt_pattern is None:
-            sppt_pattern, state = gen_sppt(consts, state)
+            sppt_pattern, state = gen_sppt(consts, state, ctx["stepno"])
 
     if use_pallas:
         from .pallas_physics import grid_physics_pallas

@@ -26,7 +26,8 @@ import numpy as np
 
 from .. import constants as pc
 
-__all__ = ["gen_sppt", "init_sppt_state", "build_sppt_tables", "SpptTables"]
+__all__ = ["gen_sppt", "gen_sppt_n", "init_sppt_state", "stationary_draw",
+           "build_sppt_tables", "SpptTables"]
 
 TIME_DECORR = 6.0       # decorrelation time [h]
 LEN_DECORR = 500000.0   # correlation length [m]
@@ -61,35 +62,54 @@ def build_sppt_tables(params, el2_np: np.ndarray) -> SpptTables:
 
 
 def init_sppt_state(params, key):
-    """Initial AR(1) state: zeros plus a first-step flag (the first gen_sppt
-    call replaces the zeros with a stationary-variance draw, sppt.f90:92).
-    sppt_spec is a real pair (2, kx, mx, nx) — see ops/spectral.py."""
+    """Initial AR(1) state: a zero pattern plus the member's base RNG key.
+    model.initialize replaces the zeros with a stationary-variance draw
+    (sppt.f90:92) once the spectral tables exist — no first-step flag ever
+    rides the scan carry. sppt_spec is a real pair (2, kx, mx, nx)."""
     return {
         "sppt_spec": jnp.zeros((2, params.kx, params.mx, params.nx),
                                dtype=params.dtype),
         "sppt_key": key,
-        "sppt_first": jnp.array(True),
     }
 
 
-def gen_sppt_n(consts, state, n: int):
+def stationary_draw(consts, key):
+    """Stationary-variance AR(1) state (sppt.f90:92): the correct
+    initialization the reference's lost-state bug prevents it from ever
+    using. Runs eagerly at model init (a handful of tiny cached ops)."""
+    params = consts.params
+    tables = consts.sppt
+    shape = (2, params.kx, params.mx, params.nx)
+    eta = jnp.clip(jax.random.normal(jax.random.fold_in(key, 0x5bb7),
+                                     shape, dtype=params.dtype), -10.0, 10.0)
+    return tables.stat * tables.sigma * eta
+
+
+def gen_sppt_n(consts, state, n: int, stepno):
     """Advance the AR(1) spectral pattern n steps and return the n grid-space
     multiplicative fields, clipped to +-1 (sppt.f90:40-111).
 
-    The n per-step patterns of one scan group (the phase-specialized step
-    triples) come from ONE fused RNG draw and ONE batched inverse transform:
-    at small ensembles the step is launch-bound, so per-step pattern
-    generation (a handful of tiny kernels per step) costs ~3x what the same
-    work costs batched per triple. The AR(1) recursion is applied exactly —
-    spec_j = phi * spec_{j-1} + sigma * eta_j — so the statistics are
-    identical to n sequential single-step updates."""
+    Performance contract (round-5 bisect, BENCH_NOTES): at small ensembles
+    the batched step is launch-bound and extra per-iteration scan-carry
+    fields are the dominant SPPT cost — NOT the RNG or the transform. So
+    (a) the noise is COUNTER-BASED — fold_in(member_key, stepno) — which
+    leaves sppt_key loop-invariant (never rewritten; XLA hoists it out of
+    the while carry), and (b) the n per-step patterns of one scan group come
+    from ONE fused RNG draw and ONE batched inverse transform. Only
+    sppt_spec truly rides the carry (the AR(1) recursion is sequential).
+    Counter-based keying also makes the stream a function of (member key,
+    group start step) rather than of call history: identically grouped runs
+    reproduce exactly however they are dispatched.
+
+    The AR(1) recursion is exact — spec_j = phi*spec_{j-1} + sigma*eta_j —
+    so the statistics equal n sequential single-step updates."""
     from ..ops import spectral as S
 
     params = consts.params
     tables = consts.sppt
     shape = (n, 2, params.kx, params.mx, params.nx)
 
-    key, k1 = jax.random.split(state["sppt_key"])
+    k1 = jax.random.fold_in(state["sppt_key"], stepno)
     # Complex white noise as real pairs (re, im): same per-plane draws as
     # the complex formulation, one fused RNG call for all planes and steps.
     eta = jnp.clip(jax.random.normal(k1, shape, dtype=params.dtype),
@@ -99,11 +119,7 @@ def gen_sppt_n(consts, state, n: int):
     spec = state["sppt_spec"]
     specs = []
     for j in range(n):
-        upd = tables.phi * spec + se[j]
-        if j == 0:
-            # First call ever: stationary-variance draw (sppt.f90:92).
-            upd = jnp.where(state["sppt_first"], tables.stat * se[0], upd)
-        spec = upd
+        spec = tables.phi * spec + se[j]
         specs.append(spec)
 
     stacked = jnp.stack(specs, axis=1)  # (2, n, kx, mx, nx)
@@ -111,12 +127,10 @@ def gen_sppt_n(consts, state, n: int):
 
     state = dict(state)
     state["sppt_spec"] = spec
-    state["sppt_key"] = key
-    state["sppt_first"] = jnp.array(False)
     return patterns, state  # (n, kx, il, ix)
 
 
-def gen_sppt(consts, state):
+def gen_sppt(consts, state, stepno):
     """Single-step gen_sppt_n (traced-flag step paths)."""
-    patterns, state = gen_sppt_n(consts, state, 1)
+    patterns, state = gen_sppt_n(consts, state, 1, stepno)
     return patterns[0], state

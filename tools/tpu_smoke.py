@@ -210,6 +210,36 @@ def resolution_smoke(params, n_days):
     return finite and not err, {"finite": finite, "error_flag": err}
 
 
+def resolution_longrun(params, months=4):
+    """Multi-month climate gate for the beyond-reference presets (round-5
+    verdict task: the damping retunes were calibrated by short runs only).
+    Runs `months` simulated months from synthetic BCs (first month discarded
+    as spinup by run_synthetic's caller convention — here all months after
+    the first are averaged) and checks global means stay in loose
+    climatological ranges. Returns (ok, detail)."""
+    from validate_climatology import run_synthetic
+
+    from pyspeedy_tpu.models import model as M
+
+    params = dataclasses.replace(params, precision="f32", fft_mode="matmul")
+    M._CONSTS_CACHE.clear()
+    M._RUN_FN_CACHE.clear()
+    M._DEVICE_INIT_CACHE.clear()
+    tsfc, prec, toa = run_synthetic(params, months)
+    detail = {
+        "months_used": len(tsfc),
+        "tsfc_mean_K": round(float(np.mean(tsfc)), 2),
+        "precip_mean_mm_day": round(float(np.mean(prec)), 3),
+        "toa_net_W_m2": round(float(np.mean(toa)), 2),
+    }
+    # Synthetic-BC climate (idealized continent/SSTs) is looser than the
+    # real-BC T30 validation ranges.
+    ok = (265.0 < detail["tsfc_mean_K"] < 300.0
+          and 0.5 < detail["precip_mean_mm_day"] < 8.0
+          and abs(detail["toa_net_W_m2"]) < 50.0)
+    return ok, detail
+
+
 def main():
     if jax.default_backend() == "cpu":
         print(json.dumps({"ok": False, "reason": "no TPU attached"}))
@@ -244,8 +274,18 @@ def main():
         res[f"{name}_ok"] = ok_r
         res[f"{name}_detail"] = detail
 
+    # Multi-month stability/climate gates for the beyond-reference presets.
+    for name, preset in (("t47", T47L8), ("t63", T63L8)):
+        try:
+            ok_l, detail_l = resolution_longrun(preset, months=4)
+        except Exception as e:  # noqa: BLE001 - transient remote-compiler
+            ok_l, detail_l = False, {"error": str(e)[:300]}
+        res[f"{name}_longrun_ok"] = ok_l
+        res[f"{name}_longrun"] = detail_l
+
     ok = (finite and not err_tpu and not err_cpu and drift < 5e-2
-          and pallas_ok and bf16t_ok and res["t47_ok"] and res["t63_ok"])
+          and pallas_ok and bf16t_ok and res["t47_ok"] and res["t63_ok"]
+          and res["t47_longrun_ok"] and res["t63_longrun_ok"])
     print(json.dumps({"ok": ok, "finite": finite, "error_flag": err_tpu,
                       "day1_t_drift_rel": drift,
                       "pallas_bitwise_ok": pallas_rel_err == 0.0,
