@@ -132,19 +132,22 @@ def make_global_ensemble(state: dict, n_members: int, mesh,
 
     # Per-member SPPT keys are constructed HOST-SIDE (every process computes
     # the same fold_in chain deterministically, mirroring Speedy.set_bc's
-    # per-member seeding) as raw uint32 key data — typed PRNG-key arrays
-    # cannot pass through make_array_from_callback — then re-wrapped into a
-    # typed key array by one jitted SPMD bitcast over the global array.
+    # per-member seeding) as raw uint32 key data (physics/sppt.as_typed_key)
+    # — which also passes through make_array_from_callback like any array.
     sppt_key = state.get("sppt_key")
     if sppt_key is not None:
-        state = {k: v for k, v in state.items() if k != "sppt_key"}
+        from ..physics.sppt import as_typed_key
+
+        base = as_typed_key(sppt_key)
         member_keys = jax.vmap(
-            lambda i: jax.random.fold_in(sppt_key, i))(
+            lambda i: jax.random.fold_in(base, i))(
                 np.arange(n_members, dtype=np.uint32))
         key_data = np.asarray(jax.random.key_data(member_keys))
-        key_impl = jax.random.key_impl(sppt_key)
+        state = {k: v for k, v in state.items() if k != "sppt_key"}
 
     batched = broadcast_state(state, n_members)
+    if sppt_key is not None:
+        batched["sppt_key"] = key_data
     shardings = ensemble_state_sharding(mesh, batched, shard_space)
 
     def place(x, sh):
@@ -152,15 +155,8 @@ def make_global_ensemble(state: dict, n_members: int, mesh,
         return jax.make_array_from_callback(
             arr.shape, sh, lambda idx: arr[idx])
 
-    out = {
+    return {
         k: (tuple(place(leaf, s) for leaf, s in zip(v, shardings[k]))
             if isinstance(v, tuple) else place(v, shardings[k]))
         for k, v in batched.items()
     }
-    if sppt_key is not None:
-        ens_sharding = NamedSharding(mesh, P("ensemble"))
-        data_global = place(key_data, NamedSharding(mesh, P("ensemble", None)))
-        out["sppt_key"] = jax.jit(
-            lambda d: jax.random.wrap_key_data(d, impl=key_impl),
-            out_shardings=ens_sharding)(data_global)
-    return out

@@ -57,7 +57,12 @@ def broadcast_state(state: dict, n_members: int) -> dict:
     footprint and never change during a run."""
     def rep(name, x):
         if name == "sppt_key":
-            return jax.random.split(x, n_members)
+            # Distinct per-member streams, stored as raw key data (a typed
+            # key array in the scan carry measured ~23% throughput by
+            # itself — physics/sppt.as_typed_key).
+            from ..physics.sppt import as_typed_key
+            keys = jax.random.split(as_typed_key(x), n_members)
+            return jax.random.key_data(keys)
         if name in M.DYNAMIC_FIELDS and name not in M.EPHEMERAL_FIELDS:
             return jax.tree.map(
                 lambda a: jnp.broadcast_to(a[None], (n_members,) + a.shape), x)

@@ -27,7 +27,24 @@ import numpy as np
 from .. import constants as pc
 
 __all__ = ["gen_sppt", "gen_sppt_n", "init_sppt_state", "stationary_draw",
-           "build_sppt_tables", "SpptTables"]
+           "build_sppt_tables", "SpptTables", "as_typed_key"]
+
+
+def as_typed_key(k):
+    """Typed PRNG key from either a typed key or raw uint32 key data.
+
+    The state stores sppt_key as RAW KEY DATA: a typed (extended-dtype) key
+    array riding the vmapped scan carry measured a ~23% throughput hit on
+    the 16-member TPU ensemble ALL BY ITSELF, even when never rewritten
+    (round-5 bisect, BENCH_NOTES) — the extended dtype defeats the
+    while-loop carry optimizations. Raw uint32 data is a plain carry;
+    wrapping back to a typed key inside the step is free."""
+    import jax.dtypes
+
+    k = jnp.asarray(k)
+    if jax.dtypes.issubdtype(k.dtype, jax.dtypes.prng_key):
+        return k
+    return jax.random.wrap_key_data(k, impl="threefry2x32")
 
 TIME_DECORR = 6.0       # decorrelation time [h]
 LEN_DECORR = 500000.0   # correlation length [m]
@@ -62,14 +79,15 @@ def build_sppt_tables(params, el2_np: np.ndarray) -> SpptTables:
 
 
 def init_sppt_state(params, key):
-    """Initial AR(1) state: a zero pattern plus the member's base RNG key.
-    model.initialize replaces the zeros with a stationary-variance draw
-    (sppt.f90:92) once the spectral tables exist — no first-step flag ever
-    rides the scan carry. sppt_spec is a real pair (2, kx, mx, nx)."""
+    """Initial AR(1) state: a zero pattern plus the member's base RNG key
+    (stored as raw key data — see as_typed_key). model.initialize replaces
+    the zeros with a stationary-variance draw (sppt.f90:92) once the
+    spectral tables exist — no first-step flag ever rides the scan carry.
+    sppt_spec is a real pair (2, kx, mx, nx)."""
     return {
         "sppt_spec": jnp.zeros((2, params.kx, params.mx, params.nx),
                                dtype=params.dtype),
-        "sppt_key": key,
+        "sppt_key": jax.random.key_data(as_typed_key(key)),
     }
 
 
@@ -80,8 +98,9 @@ def stationary_draw(consts, key):
     params = consts.params
     tables = consts.sppt
     shape = (2, params.kx, params.mx, params.nx)
-    eta = jnp.clip(jax.random.normal(jax.random.fold_in(key, 0x5bb7),
-                                     shape, dtype=params.dtype), -10.0, 10.0)
+    eta = jnp.clip(
+        jax.random.normal(jax.random.fold_in(as_typed_key(key), 0x5bb7),
+                          shape, dtype=params.dtype), -10.0, 10.0)
     return tables.stat * tables.sigma * eta
 
 
@@ -93,8 +112,9 @@ def gen_sppt_n(consts, state, n: int, stepno):
     the batched step is launch-bound and extra per-iteration scan-carry
     fields are the dominant SPPT cost — NOT the RNG or the transform. So
     (a) the noise is COUNTER-BASED — fold_in(member_key, stepno) — which
-    leaves sppt_key loop-invariant (never rewritten; XLA hoists it out of
-    the while carry), and (b) the n per-step patterns of one scan group come
+    leaves sppt_key loop-invariant (never rewritten, and stored as RAW
+    uint32 data so no extended-dtype array rides the carry — see
+    as_typed_key), and (b) the n per-step patterns of one scan group come
     from ONE fused RNG draw and ONE batched inverse transform. Only
     sppt_spec truly rides the carry (the AR(1) recursion is sequential).
     Counter-based keying also makes the stream a function of (member key,
@@ -109,7 +129,7 @@ def gen_sppt_n(consts, state, n: int, stepno):
     tables = consts.sppt
     shape = (n, 2, params.kx, params.mx, params.nx)
 
-    k1 = jax.random.fold_in(state["sppt_key"], stepno)
+    k1 = jax.random.fold_in(as_typed_key(state["sppt_key"]), stepno)
     # Complex white noise as real pairs (re, im): same per-plane draws as
     # the complex formulation, one fused RNG call for all planes and steps.
     eta = jnp.clip(jax.random.normal(k1, shape, dtype=params.dtype),

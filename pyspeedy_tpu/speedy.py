@@ -204,9 +204,10 @@ class Speedy:
             self.params, n_months=self._sst_anom_data.shape[0] - 2)
         if self.params.sppt_on:
             # Distinct, reproducible stochastic-physics stream per member
+            # (raw key data — see physics/sppt.as_typed_key)
             import jax
-            state["sppt_key"] = jax.random.fold_in(
-                jax.random.key(0), self.member_id or 0)
+            state["sppt_key"] = jax.random.key_data(jax.random.fold_in(
+                jax.random.key(0), self.member_id or 0))
         # push raw soil fields for registry access
         state["soil_wc_l3"] = jnp.asarray(host_bc["soil_wc_l3"])
         cal = ModelCalendar.from_datetime(self.start_date,
