@@ -75,8 +75,12 @@ def fused_grid2spec(sp, grid, bt=64, variant="A"):
 
     def kernel(g_ref, dre_ref, dim_ref, leg_ref, ore_ref, oim_ref):
         g = g_ref[...].reshape(bt * il, ix)
-        fre = jnp.dot(g, dre_ref[...], preferred_element_type=in_dt)
-        fim = jnp.dot(g, dim_ref[...], preferred_element_type=in_dt)
+        # Mosaic requires 32-bit accumulation; cast the intermediate to
+        # the operand dtype afterwards (bf16 path keeps 2-byte GEMM2 reads).
+        fre = jnp.dot(g, dre_ref[...],
+                      preferred_element_type=jnp.float32).astype(in_dt)
+        fim = jnp.dot(g, dim_ref[...],
+                      preferred_element_type=jnp.float32).astype(in_dt)
         if variant == "A":
             lg = leg_ref[...].reshape(il * mx, mx * nx)
             sre = jnp.dot(fre.reshape(bt, il * mx), lg,
@@ -170,46 +174,64 @@ def main():
                                                    params.nx)),
                        dtype=jnp.float32)
 
-    # XLA baselines (the production dense path)
-    t, ref_dir = timeit(jax.jit(lambda g: S.grid2spec_p(sp, g)), grid)
+    log(f"backend={jax.default_backend()} B_dir={B_dir} B_inv={B_inv}")
+
+    # XLA baselines in the PRODUCTION shape: 13 (7) separate per-stack
+    # calls of (members, kx, il, ix), exactly like the per-field transforms
+    # in the batched step.
+    g_stacks = grid.reshape(n_dir_stacks, n_members * kx, params.il,
+                            params.ix)
+    s_stacks = spec.reshape(2, n_inv_stacks, n_members * kx, params.mx,
+                            params.nx)
+
+    def xla_dir(gs):
+        return jnp.stack([S.grid2spec_p(sp, gs[i])
+                          for i in range(n_dir_stacks)], axis=1)
+
+    def xla_inv(ss):
+        return jnp.stack([S.spec2grid_p(sp, ss[:, i])
+                          for i in range(n_inv_stacks)], axis=0)
+
+    t, ref_dir4 = timeit(jax.jit(xla_dir), g_stacks)
+    ref_dir = ref_dir4.reshape(2, B_dir, params.mx, params.nx)
     log(f"XLA direct f32 : {t*1e3:7.2f} ms  ({n_members} members, "
         f"{n_dir_stacks} stacks)")
-    t, _ = timeit(jax.jit(lambda g: S.grid2spec_p(sp, g)),
-                  grid.astype(jnp.bfloat16))
+    t, _ = timeit(jax.jit(xla_dir), g_stacks.astype(jnp.bfloat16))
     log(f"XLA direct bf16: {t*1e3:7.2f} ms")
-    t, ref_inv = timeit(jax.jit(lambda s: S.spec2grid_p(sp, s)), spec)
+    t, ref_inv4 = timeit(jax.jit(xla_inv), s_stacks)
+    ref_inv = ref_inv4.reshape(B_inv, params.il, params.ix)
     log(f"XLA inverse    : {t*1e3:7.2f} ms  ({n_inv_stacks} stacks)")
 
-    for variant in ("A", "B"):
+    for bt_try in (bt, 32, 16):
         try:
-            fn = jax.jit(functools.partial(fused_grid2spec, sp, bt=bt,
-                                           variant=variant))
+            fn = jax.jit(functools.partial(fused_grid2spec, sp, bt=bt_try,
+                                           variant="A"))
             t, out = timeit(fn, grid)
             err = float(jnp.max(jnp.abs(out - ref_dir)))
-            log(f"fused direct {variant} f32 : {t*1e3:7.2f} ms  "
-                f"(err {err:.2e}, bt={bt})")
-        except Exception as e:  # noqa: BLE001
-            log(f"fused direct {variant} f32 FAILED: {str(e)[:300]}")
-        try:
-            fn = jax.jit(functools.partial(fused_grid2spec, sp, bt=bt,
-                                           variant=variant))
-            t, out = timeit(fn, grid.astype(jnp.bfloat16))
-            err = float(jnp.max(jnp.abs(out - ref_dir)))
-            log(f"fused direct {variant} bf16: {t*1e3:7.2f} ms  "
+            log(f"fused direct A f32 bt={bt_try}: {t*1e3:7.2f} ms  "
                 f"(err {err:.2e})")
         except Exception as e:  # noqa: BLE001
-            log(f"fused direct {variant} bf16 FAILED: {str(e)[:300]}")
-        if variant == "B":
+            log(f"fused direct A f32 bt={bt_try} FAILED: {str(e)[:200]}")
             continue
         try:
-            fn = jax.jit(functools.partial(fused_spec2grid, sp, bt=bt,
-                                           variant=variant))
-            t, out = timeit(fn, spec)
-            err = float(jnp.max(jnp.abs(out - ref_inv)))
-            log(f"fused inverse {variant}    : {t*1e3:7.2f} ms  "
+            fn = jax.jit(functools.partial(fused_grid2spec, sp, bt=bt_try,
+                                           variant="A"))
+            t, out = timeit(fn, grid.astype(jnp.bfloat16))
+            err = float(jnp.max(jnp.abs(out - ref_dir)))
+            log(f"fused direct A bf16 bt={bt_try}: {t*1e3:7.2f} ms  "
                 f"(err {err:.2e})")
         except Exception as e:  # noqa: BLE001
-            log(f"fused inverse {variant} FAILED: {str(e)[:300]}")
+            log(f"fused direct A bf16 bt={bt_try} FAILED: {str(e)[:200]}")
+        try:
+            fn = jax.jit(functools.partial(fused_spec2grid, sp, bt=bt_try,
+                                           variant="A"))
+            t, out = timeit(fn, spec)
+            err = float(jnp.max(jnp.abs(out - ref_inv)))
+            log(f"fused inverse A bt={bt_try}: {t*1e3:7.2f} ms  "
+                f"(err {err:.2e})")
+        except Exception as e:  # noqa: BLE001
+            log(f"fused inverse A bt={bt_try} FAILED: {str(e)[:200]}")
+        break
 
 
 if __name__ == "__main__":
