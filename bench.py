@@ -139,8 +139,11 @@ def bench_ensemble(params, consts, M, make_demo_model, n_members,
 
     chunks, stepno, cal, ctx = one_window(chunks, stepno, cal)  # compile
     jax.block_until_ready(chunks)
-    chunks, stepno, cal, ctx = one_window(chunks, stepno, cal)  # warm-up
-    jax.block_until_ready(chunks)
+    # TWO discarded warm-up windows: with one, the first TIMED window still
+    # ran ~5% cold at 16 members (r5 run: [16043, 17126, ...]).
+    for _ in range(2):
+        chunks, stepno, cal, ctx = one_window(chunks, stepno, cal)
+        jax.block_until_ready(chunks)
 
     rates = []
     for r in range(n_repeats):
