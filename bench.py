@@ -122,13 +122,15 @@ def bench_ensemble(params, consts, M, make_demo_model, n_members,
     windows spanned 20% because it was counted)."""
     from pyspeedy_tpu.parallel.ensemble import (broadcast_state,
                                                 make_run_steps_batched,
-                                                pick_member_chunk)
+                                                pick_member_chunk,
+                                                pick_scan_unroll)
     n_day = params.nsteps
     _, state1, cal = make_demo_model(params)
     chunk = pick_member_chunk(n_members, params)
     chunks = [broadcast_state(state1, chunk)
               for _ in range(n_members // chunk)]
-    run = make_run_steps_batched(consts, phase=2, donate=False)
+    run = make_run_steps_batched(consts, phase=2, donate=False,
+                                 unroll=pick_scan_unroll(chunk, params))
 
     n_win = days_per_repeat * n_day
     stepno = 2

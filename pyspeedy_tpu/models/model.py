@@ -501,7 +501,8 @@ def make_single_step(consts: Consts, static_sw=None):
     return single_step
 
 
-def make_run_steps(consts: Consts, phase: int | None = None):
+def make_run_steps(consts: Consts, phase: int | None = None,
+                   unroll: int = 1):
     """Build the jitted n-step integrator (shapes specialize on n).
 
     Only the DYNAMIC_FIELDS travel through the scan carry; the invariant
@@ -533,7 +534,7 @@ def make_run_steps(consts: Consts, phase: int | None = None):
                 out = single_step({**static, **d}, ctx_i)
                 return {k: out[k] for k in d}, None
 
-            dyn, _ = jax.lax.scan(body, dyn, ctx)
+            dyn, _ = jax.lax.scan(body, dyn, ctx, unroll=unroll)
             return {**static, **dyn}
 
         return run_steps
@@ -563,7 +564,7 @@ def make_run_steps(consts: Consts, phase: int | None = None):
                 st = fn(st, ctx_j)
             return {k: st[k] for k in d}, None
 
-        dyn, _ = jax.lax.scan(body, dyn, ctx3)
+        dyn, _ = jax.lax.scan(body, dyn, ctx3, unroll=unroll)
         return {**static, **dyn}
 
     return run_steps3

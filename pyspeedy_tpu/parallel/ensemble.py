@@ -17,7 +17,7 @@ from ..models import model as M
 from .mesh import ensemble_state_sharding
 
 __all__ = ["broadcast_state", "make_run_steps_batched", "shard_ensemble",
-           "MEMBER_CHUNK", "pick_member_chunk"]
+           "MEMBER_CHUNK", "pick_member_chunk", "pick_scan_unroll"]
 
 # Measured throughput optimum (BENCH_NOTES round 4, re-tuned after the
 # aligned-scan/grid_phi/bf16-tendency traffic cuts): at 1024 T30 members,
@@ -43,6 +43,17 @@ def pick_member_chunk(n_members: int, params=None) -> int:
     if n_members > target and n_members % target == 0:
         return target
     return n_members
+
+
+def pick_scan_unroll(chunk: int, params=None) -> int:
+    """Scan unroll factor for a `chunk`-wide batched run (round-5 sweep,
+    tools/exp_scan_unroll.py): at or above the T30 128-member knee the step
+    saturates HBM and unrolling only loses (-1.6% at x2, -2.5% at x4, 256
+    members); BELOW the knee the per-iteration overhead shows and x2 is
+    +3.1% (64 members: 20.9k -> 21.6k msps; x4 loses again). Hi-res runs
+    (chunk 8, much larger per-iteration work) are unmeasured — keep 1."""
+    hires = params is not None and params.ix * params.il > _T30_GRID_POINTS
+    return 2 if (chunk < MEMBER_CHUNK and not hires) else 1
 
 # NB round 3 carried the nstrad shortwave cache in bfloat16 to cut its
 # scan-carry traffic. The round-4 SW-ALIGNED scan (run_aligned below)
@@ -73,7 +84,7 @@ def broadcast_state(state: dict, n_members: int) -> dict:
 
 def make_run_steps_batched(consts, mesh=None, shard_space: bool = True,
                            donate: bool = False, phase: int | None = None,
-                           fuse_transforms: bool = False):
+                           fuse_transforms: bool = False, unroll: int = 1):
     """Jitted n-step integrator over a member-batched state (leading member
     axis on DYNAMIC_FIELDS only). When a mesh is given, the state is
     constrained to the ensemble/space sharding layout.
@@ -86,7 +97,10 @@ def make_run_steps_batched(consts, mesh=None, shard_space: bool = True,
 
     donate: input-buffer donation measured NO speedup on this backend
     (round 3) and invalidates the loop-invariant arrays SHARED between
-    member-chunk states — off by default."""
+    member-chunk states — off by default.
+
+    unroll: lax.scan unroll factor for the step-group loop (the body is a
+    3-step triple on the aligned path)."""
     import dataclasses
 
     # Per-field transforms batch well already under vmap; the fused
@@ -189,7 +203,7 @@ def make_run_steps_batched(consts, mesh=None, shard_space: bool = True,
 
                 return jax.vmap(one)(d), None
 
-            dyn_nc, _ = jax.lax.scan(body, dyn_nc, ctx_scan)
+            dyn_nc, _ = jax.lax.scan(body, dyn_nc, ctx_scan, unroll=unroll)
 
         # -- tail -----------------------------------------------------------
         if tail_n == 0:
@@ -243,7 +257,7 @@ def make_run_steps_batched(consts, mesh=None, shard_space: bool = True,
 
             return jax.vmap(one)(d), None
 
-        dyn, _ = jax.lax.scan(body, dyn, ctx_main)
+        dyn, _ = jax.lax.scan(body, dyn, ctx_main, unroll=unroll)
 
         # Ephemerals are collected member-batched from the final group only
         # on the physics-on path (where they are stripped from the input and

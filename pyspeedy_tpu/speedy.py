@@ -557,7 +557,7 @@ class SpeedyEns:
 
         from .models.model import DYNAMIC_FIELDS, EPHEMERAL_FIELDS
         from .parallel.ensemble import (make_run_steps_batched,
-                                        pick_member_chunk)
+                                        pick_member_chunk, pick_scan_unroll)
 
         lead = self.members[0]
         if not hasattr(self, "_batched_run"):
@@ -572,7 +572,8 @@ class SpeedyEns:
         key = (id(lead._consts), phase, chunk)
         if key not in self._batched_run:
             self._batched_run[key] = make_run_steps_batched(
-                lead._consts, donate=False, phase=phase)
+                lead._consts, donate=False, phase=phase,
+                unroll=pick_scan_unroll(chunk, lead.params))
         run = self._batched_run[key]
 
         import jax as _jax

@@ -78,6 +78,24 @@ def test_sharded_matches_unsharded():
             rtol=0, atol=1e-10, err_msg=name)
 
 
+def test_unrolled_scan_matches():
+    """unroll=2 (the sub-knee default, parallel/ensemble.pick_scan_unroll)
+    is a pure scheduling change: the SW-aligned batched runner must produce
+    bitwise-identical trajectories at any unroll factor."""
+    consts, state, cal = demo()
+    batched = broadcast_state(state, 2)
+    # 15 steps from phase 2: exercises prefix + a 3-triple aligned scan
+    # (odd triple count, so unroll=2 also hits its remainder path) + tail.
+    ctx, _ = M.build_step_ctx(cal, 2, 15)
+    ref = make_run_steps_batched(consts, donate=False, phase=2)(
+        dict(batched), ctx)
+    out = make_run_steps_batched(consts, donate=False, phase=2, unroll=2)(
+        dict(batched), ctx)
+    for name in ("vor", "div", "t", "ps", "tr", "precnv"):
+        np.testing.assert_array_equal(
+            np.asarray(out[name]), np.asarray(ref[name]), err_msg=name)
+
+
 def test_perturbed_members_diverge():
     # Ensemble IC perturbation idiom: perturbing one member's temperature
     # must change only that member's trajectory.
